@@ -1,0 +1,251 @@
+"""Spectral interpolation from periodic grids to fixed scattered targets.
+
+This is the framework's NUFFT replacement (the reference calls finufft's
+type-2 transform everywhere: radial->grid, grid->interface, grid->points;
+SURVEY.md section 2.2, finufft row).  TPU-native design: target sets are
+geometry-static, so we precompute (host, numpy) the window indices and
+weights of an exponential-of-semicircle (ES) kernel interpolation; the
+device-side apply is
+    modes -> deconvolve -> zero-pad -> inverse FFT (f64 matmul DFT) ->
+    one flat gather of (T, w, w) patches -> weighted reduction,
+which is a handful of MXU matmuls plus a single big gather.
+
+Accuracy: sigma=2 upsampling with w=16 gives ~1e-14 in f64 (validated in
+tests against direct trigonometric evaluation).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ipde_tpu.ops.cx import Cx
+from ipde_tpu.ops.fourier import FourierPlan2D
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# ES kernel (host)
+# ---------------------------------------------------------------------------
+
+def _es_kernel(z, beta):
+    """phi(z) = exp(beta (sqrt(1-z^2) - 1)) on |z|<=1, else 0."""
+    z = np.asarray(z)
+    out = np.zeros_like(z)
+    good = np.abs(z) < 1.0
+    out[good] = np.exp(beta * (np.sqrt(1.0 - z[good] ** 2) - 1.0))
+    return out
+
+
+@functools.lru_cache(maxsize=32)
+def _es_kernel_ft_table(w: int, beta: float, half_width: float, nk: int):
+    """Continuous FT phi_hat(k) = int_{-a}^{a} phi(y/a) e^{-iky} dy for
+    k = 0..nk-1 (integer wavenumbers), a = half_width. Gauss-Legendre."""
+    a = half_width
+    xq, wq = np.polynomial.legendre.leggauss(max(200, 4 * w))
+    y = a * xq
+    vals = _es_kernel(xq, beta) * (a * wq)
+    k = np.arange(nk)
+    # even kernel -> cosine transform
+    return (np.cos(np.outer(k, y)) * vals).sum(axis=1)
+
+
+class NufftPlan(NamedTuple):
+    """Device-side plan for fixed-target type-2 interpolation."""
+    flat_idx: jax.Array    # (T, w*w) int32 indices into the fine grid raveled
+    wx: jax.Array          # (T, w)
+    wy: jax.Array          # (T, w)
+    deconv: jax.Array      # (nx, ny) real deconvolution of the mode array
+    nx: int
+    ny: int
+    nfx: int
+    nfy: int
+
+
+def build_nufft_plan(nx: int, ny: int, tx: np.ndarray, ty: np.ndarray,
+                     sigma: int = 2, w: int = 16,
+                     x_offset: float = 0.0, y_offset: float = 0.0) -> NufftPlan:
+    """Precompute interpolation structure for targets (tx, ty) in [0, 2pi)^2.
+
+    The mode array to be interpolated has shape (nx, ny) in fftfreq order.
+    x_offset/y_offset shift the fine grid's origin (used for half-node-offset
+    Chebyshev reflections in the radial interpolation).
+    """
+    tx = np.mod(np.asarray(tx, np.float64).ravel() - x_offset, 2 * np.pi)
+    ty = np.mod(np.asarray(ty, np.float64).ravel() - y_offset, 2 * np.pi)
+    nfx, nfy = sigma * nx, sigma * ny
+    hx, hy = 2 * np.pi / nfx, 2 * np.pi / nfy
+    # ES kernel shape parameter (finufft's rule for sigma=2): beta ~ 2.30 w
+    beta = 2.30 * w
+    half_w = w / 2.0
+    # nearest fine-grid index and window start
+    jx = np.floor(tx / hx).astype(np.int64)
+    jy = np.floor(ty / hy).astype(np.int64)
+    ox = jx - (w // 2 - 1)   # window covers [ox, ox + w)
+    oy = jy - (w // 2 - 1)
+    px = (ox[:, None] + np.arange(w)[None, :])
+    py = (oy[:, None] + np.arange(w)[None, :])
+    # kernel arguments: distance in fine-grid units / half-width
+    zx = (tx[:, None] / hx - px) / half_w
+    zy = (ty[:, None] / hy - py) / half_w
+    wx = _es_kernel(zx, beta)
+    wy = _es_kernel(zy, beta)
+    pxm = np.mod(px, nfx)
+    pym = np.mod(py, nfy)
+    flat = (pxm[:, :, None] * nfy + pym[:, None, :]).reshape(tx.size, w * w)
+    # deconvolution: divide mode (kx, ky) by phat(kx) phat(ky) / (hx hy)
+    kx = np.abs(np.fft.fftfreq(nx, 1.0 / nx)).astype(int)
+    ky = np.abs(np.fft.fftfreq(ny, 1.0 / ny)).astype(int)
+    phx = _es_kernel_ft_table(w, beta, half_w * hx, int(kx.max()) + 1)
+    phy = _es_kernel_ft_table(w, beta, half_w * hy, int(ky.max()) + 1)
+    deconv = (hx / phx[kx])[:, None] * (hy / phy[ky])[None, :]
+    # fold target phase offsets into deconv?  offsets are handled by shifting
+    # targets; the fine grid starts at x_offset, so modes pick up a phase.
+    return NufftPlan(
+        flat_idx=jnp.asarray(flat, jnp.int32),
+        wx=jnp.asarray(wx), wy=jnp.asarray(wy),
+        deconv=jnp.asarray(deconv), nx=nx, ny=ny, nfx=nfx, nfy=nfy,
+    )
+
+
+def _pad_modes(c: Cx, nx, ny, nfx, nfy) -> Cx:
+    """Zero-pad an (nx, ny) fftfreq-ordered mode array to (nfx, nfy)."""
+    def pad(a):
+        out = jnp.zeros((nfx, nfy), a.dtype)
+        hx, hy = nx // 2, ny // 2
+        rx = nx - hx
+        ry = ny - hy
+        out = out.at[:hx, :hy].set(a[:hx, :hy])
+        out = out.at[:hx, nfy - ry:].set(a[:hx, hy:])
+        out = out.at[nfx - rx:, :hy].set(a[hx:, :hy])
+        out = out.at[nfx - rx:, nfy - ry:].set(a[hx:, hy:])
+        return out
+    return Cx(pad(c.re), pad(c.im))
+
+
+class PeriodicInterpolator2D:
+    """Interpolates real periodic grid data (or given modes) to fixed targets.
+
+    Usage:
+        interp = PeriodicInterpolator2D(nx, ny, tx, ty)     # host precompute
+        vals = interp(f)            # f real (nx, ny) grid values -> (T,)
+        vals = interp.from_modes(c) # c = Cx fft2 modes (with 1/(nx ny) conv.)
+
+    The x_offset/y_offset arguments place the data grid's first sample at
+    that coordinate (needed for the Chebyshev-reflection radial grids).
+    """
+
+    def __init__(self, nx: int, ny: int, tx, ty, sigma: int = 2, w: int = 16,
+                 x_offset: float = 0.0, y_offset: float = 0.0,
+                 native_fft: bool = False):
+        self.plan = build_nufft_plan(nx, ny, tx, ty, sigma, w,
+                                     x_offset, y_offset)
+        self.fine_plan = FourierPlan2D(self.plan.nfx, self.plan.nfy,
+                                       native=native_fft)
+        self.base_plan = FourierPlan2D(nx, ny, native=native_fft)
+        self.T = np.asarray(tx).size
+        self.w = w
+
+    def from_modes(self, c: Cx):
+        """c: (nx, ny) or (B, nx, ny) Cx of *unnormalized* fft2 modes."""
+        batched = c.re.ndim == 3
+        if not batched:
+            c = Cx(c.re[None], c.im[None])
+        out = jax.vmap(self._one_from_modes)(c)
+        return out if batched else out[0]
+
+    def _one_from_modes(self, c: Cx):
+        p = self.plan
+        scale = 1.0 / (p.nx * p.ny)
+        cd = Cx(c.re * p.deconv * scale, c.im * p.deconv * scale)
+        cp = _pad_modes(cd, p.nx, p.ny, p.nfx, p.nfy)
+        fine = self.fine_plan.ifft2_real(cp) * (p.nfx * p.nfy)
+        patches = jnp.take(fine.ravel(), p.flat_idx, axis=0)
+        patches = patches.reshape(self.T, self.w, self.w)
+        return jnp.einsum("tp,tq,tpq->t", p.wx, p.wy, patches,
+                          precision=_HIGH)
+
+    def __call__(self, f):
+        """f: real (nx, ny) or (B, nx, ny) grid values."""
+        batched = f.ndim == 3
+        fs = f if batched else f[None]
+        cs = jax.vmap(self.base_plan.fft2)(fs)
+        out = jax.vmap(self._one_from_modes)(cs)
+        return out if batched else out[0]
+
+
+def nufft2d2_exact(c: Cx, tx, ty):
+    """Direct (exact) evaluation sum_k C_k e^{i k.x} / (nx ny) at targets.
+
+    O(T nx ny); for validation and small mode grids.  Host/numpy-free:
+    operates on jnp arrays.
+    """
+    nx, ny = c.shape[-2:]
+    kx = jnp.asarray(np.fft.fftfreq(nx, 1.0 / nx))
+    ky = jnp.asarray(np.fft.fftfreq(ny, 1.0 / ny))
+    tx = jnp.asarray(tx).ravel()
+    ty = jnp.asarray(ty).ravel()
+    # G[t, kx] = sum_ky C[kx, ky] e^{i ky ty}
+    ey_re = jnp.cos(ty[:, None] * ky[None, :])
+    ey_im = jnp.sin(ty[:, None] * ky[None, :])
+    g_re = jnp.matmul(ey_re, c.re.T, precision=_HIGH) - jnp.matmul(ey_im, c.im.T, precision=_HIGH)
+    g_im = jnp.matmul(ey_re, c.im.T, precision=_HIGH) + jnp.matmul(ey_im, c.re.T, precision=_HIGH)
+    ex_re = jnp.cos(tx[:, None] * kx[None, :])
+    ex_im = jnp.sin(tx[:, None] * kx[None, :])
+    out = jnp.sum(ex_re * g_re - ex_im * g_im, axis=1)
+    return out / (nx * ny)
+
+
+# ---------------------------------------------------------------------------
+# periodic polynomial (Lagrange) interpolation to fixed targets
+# ---------------------------------------------------------------------------
+
+class PolyInterpolator2D:
+    """k-th order Lagrange stencil interpolation on a periodic uniform grid.
+
+    Replaces fast_interp.interp2d (reference: ipde/ebdy_collection.py:602,
+    advection paths).  Host precompute of stencil indices + weights; device
+    apply is one gather + small einsum, same shape as the NUFFT apply.
+    """
+
+    def __init__(self, x0, y0, xh, yh, nx, ny, tx, ty, order: int = 7):
+        tx = (np.asarray(tx, np.float64).ravel() - x0) / xh
+        ty = (np.asarray(ty, np.float64).ravel() - y0) / yh
+        k = order
+        half = (k - 1) // 2
+        jx = np.floor(tx).astype(np.int64) - half
+        jy = np.floor(ty).astype(np.int64) - half
+        offs = np.arange(k)
+        px = jx[:, None] + offs
+        py = jy[:, None] + offs
+        wx = _lagrange_weights(tx[:, None] - px)
+        wy = _lagrange_weights(ty[:, None] - py)
+        flat = (np.mod(px, nx)[:, :, None] * ny + np.mod(py, ny)[:, None, :])
+        self.flat_idx = jnp.asarray(flat.reshape(tx.size, k * k), jnp.int32)
+        self.wx = jnp.asarray(wx)
+        self.wy = jnp.asarray(wy)
+        self.k = k
+        self.T = tx.size
+
+    def __call__(self, f):
+        patches = jnp.take(f.ravel(), self.flat_idx, axis=0)
+        patches = patches.reshape(self.T, self.k, self.k)
+        return jnp.einsum("tp,tq,tpq->t", self.wx, self.wy, patches,
+                          precision=_HIGH)
+
+
+def _lagrange_weights(d):
+    """Lagrange basis weights for nodes at integer offsets given distances d
+    (T, k) where d[:, j] = t - node_j; nodes are 0..k-1 shifted."""
+    T, k = d.shape
+    w = np.ones((T, k))
+    for j in range(k):
+        for m in range(k):
+            if m != j:
+                w[:, j] *= d[:, m] / (d[:, m] - d[:, j])
+    return w

@@ -1,0 +1,103 @@
+"""QFS: Quadrature by Fundamental Solutions (effective-source maps).
+
+To evaluate a layer potential accurately arbitrarily close to (or on) its
+curve, replace it by an equivalent density xi on a source curve shifted to
+the far side of the evaluation region, solving
+
+    A xi = B tau      (matched on the original curve)
+
+where B is the spectrally-accurate singular self-evaluation of the layer
+potential and A the (smooth) kernel matrix from the shifted sources.  Both
+maps are geometry-static dense matrices: the apply is one f64 matmul.
+
+Re-derivation of the reference's external qfs package surface
+(QFS_Boundary / QFS_Evaluator / Laplace_QFS / Modified_Helmholtz_QFS /
+`u2s`; SURVEY.md 2.2 and ipde/solvers/internals/scalar.py:87-113).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ipde_tpu.geometry.curve import BoundaryCurve
+from ipde_tpu.ops import singular as sq
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+def _reg_pinv(A: np.ndarray, rcond: float) -> np.ndarray:
+    """SVD-truncated pseudo-inverse (the QFS systems are exponentially
+    ill-conditioned by design; truncation at the QFS tolerance is the
+    standard regularization)."""
+    U, s, Vt = np.linalg.svd(A, full_matrices=False)
+    cut = s > rcond * s[0]
+    si = np.where(cut, 1.0 / np.maximum(s, 1e-300), 0.0)
+    return (Vt.T * si) @ U.T
+
+
+class QFSEvaluator:
+    """Maps layer densities on `curve` to an effective density on `source`.
+
+    forms: list of (N x N) self-evaluation matrices (e.g. [SLP_self] or
+    [SLP_self, DLP_self]); A: (N x N_src) kernel matrix source -> curve.
+    __call__([tau_1, tau_2, ...]) returns xi with
+        A xi = sum_i forms[i] tau_i.
+    u2s(u) returns xi with A xi = u (values given directly on the curve).
+    """
+
+    def __init__(self, source: BoundaryCurve, curve: BoundaryCurve,
+                 forms: Sequence[np.ndarray], A: np.ndarray,
+                 rcond: float = 1e-15):
+        self.source = source
+        self.curve = curve
+        Apinv = _reg_pinv(A, rcond)
+        self.mats = [jnp.asarray(Apinv @ np.asarray(B)) for B in forms]
+        self.u2s_mat = jnp.asarray(Apinv)
+
+    def __call__(self, densities):
+        out = None
+        for M, tau in zip(self.mats, densities):
+            v = jnp.matmul(M, jnp.asarray(tau), precision=_HIGH)
+            out = v if out is None else out + v
+        return out
+
+    def u2s(self, u):
+        return jnp.matmul(self.u2s_mat, jnp.asarray(u), precision=_HIGH)
+
+
+# -- kernel-specific constructors --------------------------------------------
+
+def laplace_qfs(curve: BoundaryCurve, source: BoundaryCurve, interior: bool,
+                slp: bool = True, dlp: bool = True,
+                rcond: float = 1e-15) -> QFSEvaluator:
+    """Laplace QFS: effective single-layer density on `source` reproducing
+    SLP/DLP of densities on `curve`, matched as the one-sided limit on the
+    evaluation side (`interior`=True -> limit from inside the curve:
+    DLP -> PV - tau/2; from outside: PV + tau/2)."""
+    jump = -0.5 if interior else 0.5
+    N = curve.N
+    forms = []
+    if slp:
+        forms.append(sq.laplace_slp_self(curve))
+    if dlp:
+        forms.append(sq.laplace_dlp_self(curve) + jump * np.eye(N))
+    A = sq.laplace_slp_naive(source, curve.x, curve.y)
+    return QFSEvaluator(source, curve, forms, A, rcond)
+
+
+def mh_qfs(curve: BoundaryCurve, source: BoundaryCurve, interior: bool,
+           k: float, slp: bool = True, dlp: bool = True,
+           rcond: float = 1e-15) -> QFSEvaluator:
+    jump = -0.5 if interior else 0.5
+    N = curve.N
+    forms = []
+    if slp:
+        forms.append(sq.mh_slp_self(curve, k))
+    if dlp:
+        forms.append(sq.mh_dlp_self(curve, k) + jump * np.eye(N))
+    A = sq.mh_slp_naive(source, curve.x, curve.y, k)
+    return QFSEvaluator(source, curve, forms, A, rcond)
