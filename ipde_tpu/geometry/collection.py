@@ -1,0 +1,270 @@
+"""EmbeddedBoundaryCollection: the multi-boundary embedded domain.
+
+TPU-native redesign of the reference's EmbeddedBoundaryCollection
+(reference: ipde/ebdy_collection.py:230-829).  Host numpy builds all masks,
+index sets and interpolation plans once per (geometry, grid); the device-side
+state is a set of fixed-shape jnp arrays + plans that the jitted solvers
+consume.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ipde_tpu.functions import EmbeddedFunction
+from ipde_tpu.geometry.curve import BoundaryCurve
+from ipde_tpu.geometry.embedded_boundary import EmbeddedBoundary, load_embedded_boundary
+from ipde_tpu.geometry.grid import Grid
+from ipde_tpu.ops.cx import Cx
+from ipde_tpu.ops.fourier import FourierPlan2D
+from ipde_tpu.ops.interp import PeriodicInterpolator2D, PolyInterpolator2D
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+def grid_inside_mask(bdy: BoundaryCurve, grid: Grid) -> np.ndarray:
+    """Even-odd inside mask on the full uniform grid via scanline crossings
+    of a refined polyline (O(Nx*Ny + n_segments * rows-per-segment))."""
+    ups = bdy.resampled(max(8 * bdy.N, 1024))
+    xs, ys = ups.x, ups.y
+    xe, ye = np.roll(xs, -1), np.roll(ys, -1)
+    Nx, Ny = grid.Nx, grid.Ny
+    diff = np.zeros((Nx + 1, Ny), dtype=np.int64)
+    # rows (y values) each segment crosses
+    ylo = np.minimum(ys, ye)
+    yhi = np.maximum(ys, ye)
+    j0 = np.searchsorted(grid.yv, ylo, side="left")
+    j1 = np.searchsorted(grid.yv, yhi, side="left")
+    for s in range(xs.size):
+        a, b = j0[s], j1[s]
+        if a == b:
+            continue
+        jj = np.arange(a, b)
+        yc = grid.yv[jj]
+        xc = xs[s] + (yc - ys[s]) * (xe[s] - xs[s]) / (ye[s] - ys[s])
+        ii = np.searchsorted(grid.xv, xc, side="right")
+        np.add.at(diff, (ii, jj), 1)
+    # point (i, j) is inside iff the number of crossings at x > xv[i] is odd
+    counts = np.cumsum(diff[::-1], axis=0)[::-1][1:]
+    return (counts % 2) == 1
+
+
+class EmbeddedBoundaryCollection:
+    def __init__(self, ebdys: Sequence[EmbeddedBoundary]):
+        self.ebdys = list(ebdys)
+        self.N = len(self.ebdys)
+        self.grid = None
+        self.bump_location = None
+        self.bumpy = None
+
+    def __iter__(self):
+        return iter(self.ebdys)
+
+    def __getitem__(self, i):
+        return self.ebdys[i]
+
+    def __len__(self):
+        return self.N
+
+    # ------------------------------------------------------------------
+    def generate_grid(self, h: Optional[float] = None,
+                      danger_zone_distance: float = 0.0) -> Grid:
+        """Auto-generate the background box: the first boundary must be the
+        interior one; pad by one radial width, plus bump room at the top
+        right (reference: ipde/ebdy_collection.py:280-341)."""
+        ie = self.ebdys[0]
+        if not ie.interior:
+            raise ValueError("generate_grid requires the first boundary to "
+                             "be interior")
+        if h is None:
+            h = ie.h
+        cheat = ie.radial_width
+        xmin = ie.bdy.x.min() - cheat
+        ymin = ie.bdy.y.min() - cheat
+        xmax = ie.bdy.x.max() + 2 * cheat
+        ymax = ie.bdy.y.max() + 2 * cheat
+        self.bump_location = (ie.bdy.x.max() + cheat, ie.bdy.y.max() + cheat)
+        Nx = 2 * int(0.5 * np.ceil((xmax - xmin) / h))
+        Ny = 2 * int(0.5 * np.ceil((ymax - ymin) / h))
+        grid = Grid([xmin, xmin + Nx * h], Nx, [ymin, ymin + Ny * h], Ny)
+        self.register_grid(grid, danger_zone_distance=danger_zone_distance)
+        return grid
+
+    # ------------------------------------------------------------------
+    def register_grid(self, grid: Grid, danger_zone_distance: float = 0.0,
+                      verbose: bool = False):
+        self.grid = grid
+        regs = [e.register_grid(grid, danger_zone_distance, verbose)
+                for e in self.ebdys]
+        self.regs = regs
+
+        # physical mask: intersection over boundaries; near-curve points are
+        # classified exactly by the sign of their radial coordinate
+        phys = np.ones(grid.shape, dtype=bool)
+        for e, reg in zip(self.ebdys, regs):
+            inside = grid_inside_mask(e.bdy, grid)
+            inside[reg.near_ix, reg.near_iy] = reg.near_r < 0
+            phys &= inside if e.interior else ~inside
+        self.phys = phys
+        self.ext = ~phys
+        self.phys_n = int(phys.sum())
+
+        # in-annulus mask and phys-not-annulus
+        ia = np.zeros(grid.shape, dtype=bool)
+        for reg in regs:
+            ia[reg.ia_ix, reg.ia_iy] = True
+        self.in_annulus = ia
+        self.phys_not_in_annulus = phys & ~ia
+        self.pna_flat = np.flatnonzero(self.phys_not_in_annulus)
+        self.pna_x = grid.xg[self.phys_not_in_annulus]
+        self.pna_y = grid.yg[self.phys_not_in_annulus]
+
+        # smoothed step: 1 deep inside, rolls to 0 through each annulus
+        gs = phys.astype(np.float64)
+        for reg in regs:
+            gs[reg.ia_ix, reg.ia_iy] *= reg.grid_to_radial_step
+        self.grid_step = gs
+        self.grid_step_dev = jnp.asarray(gs)
+        self.phys_dev = jnp.asarray(phys)
+
+        # Fourier operators for the box
+        self.kx = np.fft.fftfreq(grid.Nx, grid.xh / (2 * np.pi))[:, None]
+        self.ky = np.fft.fftfreq(grid.Ny, grid.yh / (2 * np.pi))[None, :]
+        self.lap = -self.kx**2 - self.ky**2
+        self.fft_plan = FourierPlan2D(grid.Nx, grid.Ny)
+        self.kx_dev = jnp.asarray(self.kx)
+        self.ky_dev = jnp.asarray(self.ky)
+
+        # transformed coordinates (box -> [0, 2pi)^2) for spectral interp
+        def transf(x, y):
+            tx = (np.asarray(x) - grid.x_bounds[0]) / grid.x_period * 2 * np.pi
+            ty = (np.asarray(y) - grid.y_bounds[0]) / grid.y_period * 2 * np.pi
+            return tx, ty
+        self.transf = transf
+
+        # interface interpolation plan (all interfaces concatenated)
+        ifx = np.concatenate([e.interface.x for e in self.ebdys])
+        ify = np.concatenate([e.interface.y for e in self.ebdys])
+        self.all_interface_x = ifx
+        self.all_interface_y = ify
+        tx, ty = transf(ifx, ify)
+        self.interface_interp = PeriodicInterpolator2D(grid.Nx, grid.Ny, tx, ty)
+        self.bdy_Ns = [e.bdy.N for e in self.ebdys]
+        self.splits = np.cumsum(self.bdy_Ns)[:-1].tolist()
+
+        # radial -> grid interpolation plans (Chebyshev reflection NUFFT)
+        self.radial_to_grid_plans = []
+        self.ia_flat_list = []
+        for e, reg in zip(self.ebdys, regs):
+            theta = e.nufft_theta(reg.ia_r)
+            plan = PeriodicInterpolator2D(
+                2 * e.M, e.bdy.N, theta, reg.ia_t,
+                x_offset=np.pi / (2 * e.M))
+            self.radial_to_grid_plans.append(plan)
+            self.ia_flat_list.append(
+                jnp.asarray(reg.ia_ix * grid.Ny + reg.ia_iy, jnp.int32))
+
+        # aggregated point sets (host coordinates) used by the solvers
+        self.radial_x_list = [e.radial_x.ravel() for e in self.ebdys]
+        self.radial_y_list = [e.radial_y.ravel() for e in self.ebdys]
+        self.bumpy = None
+
+    # ------------------------------------------------------------------
+    # interpolation operations (device)
+    # ------------------------------------------------------------------
+    def v2l(self, v):
+        """Split concatenated boundary-length vector into per-boundary."""
+        return jnp.split(v, self.splits)
+
+    def interpolate_grid_to_interface_modes(self, modes: Cx):
+        """Interpolate (stacked) fft2 mode arrays to all interface points."""
+        return self.interface_interp.from_modes(modes)
+
+    def interpolate_grid_to_interface(self, f):
+        return self.interface_interp(f)
+
+    def interpolate_radial_to_grid(self, radials, grid_vals):
+        """Scatter radial-grid functions onto their in-annulus grid points.
+        radials: list of (M, N_b) arrays; grid_vals: (Nx, Ny); returns
+        updated grid_vals."""
+        flat = grid_vals.ravel()
+        for e, plan, idx, fr in zip(self.ebdys, self.radial_to_grid_plans,
+                                    self.ia_flat_list, radials):
+            refl = jnp.concatenate([fr, fr[::-1]], axis=0)
+            vals = plan(refl)
+            flat = flat.at[idx].set(vals)
+        return flat.reshape(grid_vals.shape)
+
+    def interpolate_radial_to_boundary(self, radials):
+        return [jnp.matmul(jnp.asarray(e.interp_f_to_bdy), fr, precision=_HIGH)
+                for e, fr in zip(self.ebdys, radials)]
+
+    # ------------------------------------------------------------------
+    # bump de-meaning (Poisson solvability on the periodic box)
+    # ------------------------------------------------------------------
+    def ready_bump(self, bump_loc=None, bump_width=None):
+        """Normalized compactly-supported bump used to remove the mean of
+        the extended forcing (reference: ipde/ebdy_collection.py:796-810)."""
+        if bump_width is None:
+            bump_width = self.ebdys[0].radial_width
+        if bump_loc is None:
+            bump_loc = self.bump_location
+        if bump_loc is None:
+            raise ValueError("no bump location available")
+        mol = self.ebdys[0].mollifier
+        rr = np.hypot(self.grid.xg - bump_loc[0], self.grid.yg - bump_loc[1])
+        bumpy = mol.bump(rr / bump_width)
+        integral = bumpy.sum() * self.grid.xh * self.grid.yh
+        self.bumpy = jnp.asarray(bumpy / integral)
+
+    def demean_function(self, f):
+        f_int = jnp.sum(f) * (self.grid.xh * self.grid.yh)
+        return f - f_int * self.bumpy
+
+    # ------------------------------------------------------------------
+    # calculus on EmbeddedFunctions
+    # ------------------------------------------------------------------
+    def gradient(self, ef: EmbeddedFunction):
+        fc = ef.grid * self.grid_step_dev
+        c = self.fft_plan.fft2(fc)
+        fx = self.fft_plan.ifft2_real(Cx(-c.im * self.kx_dev, c.re * self.kx_dev))
+        fy = self.fft_plan.ifft2_real(Cx(-c.im * self.ky_dev, c.re * self.ky_dev))
+        fxrs, fyrs = [], []
+        for e, fr in zip(self.ebdys, ef.radials):
+            fxr, fyr = self._radial_gradient(e, fr)
+            fxrs.append(fxr)
+            fyrs.append(fyr)
+        fx = self.interpolate_radial_to_grid(fxrs, fx) * self.phys_dev
+        fy = self.interpolate_radial_to_grid(fyrs, fy) * self.phys_dev
+        return (EmbeddedFunction(fx, fxrs), EmbeddedFunction(fy, fyrs))
+
+    def _radial_gradient(self, e: EmbeddedBoundary, fr):
+        from ipde_tpu.ops.fourier import FourierPlan1D
+        plan = FourierPlan1D(e.bdy.N)
+        ft = plan.tderiv(fr) * jnp.asarray(e.inverse_radial_speed)
+        frr = jnp.matmul(jnp.asarray(e.D00), fr, precision=_HIGH)
+        nx = jnp.asarray(e.bdy.normal_x)
+        ny = jnp.asarray(e.bdy.normal_y)
+        tx = jnp.asarray(e.bdy.tangent_x)
+        ty = jnp.asarray(e.bdy.tangent_y)
+        return frr * nx + ft * tx, frr * ny + ft * ty
+
+    def volume_integral(self, ef: EmbeddedFunction) -> float:
+        val = float(jnp.sum(ef.grid * self.grid_step_dev)
+                    * self.grid.xh * self.grid.yh)
+        for e, fr in zip(self.ebdys, ef.radials):
+            val += e.radial_integral(np.asarray(fr))
+        return val
+
+    # ------------------------------------------------------------------
+    def save(self) -> dict:
+        return {"ebdys": [e.save() for e in self.ebdys]}
+
+
+def load_collection(d: dict) -> EmbeddedBoundaryCollection:
+    return EmbeddedBoundaryCollection(
+        [load_embedded_boundary(e) for e in d["ebdys"]])

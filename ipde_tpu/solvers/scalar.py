@@ -1,0 +1,278 @@
+"""Multi-boundary inhomogeneous scalar solvers (Poisson, modified Helmholtz).
+
+The flagship solve path (reference: ipde/solvers/multi_boundary/scalar.py:72-117,
+internals/scalar.py:68-116, multi_boundary/poisson.py, modified_helmholtz.py):
+
+  1. periodic box solve of the rolled-off forcing (f64 matmul FFT + symbol),
+  2. spectral interpolation of (u, ux, uy) to all interfaces (window NUFFT
+     from the same mode array -- one batched apply),
+  3. per boundary: annular strip solve with zero BCs (jitted GMRES),
+     interface mismatch -> SLP/DLP densities -> QFS effective densities
+     sigma_g (grid side) and sigma_r (radial side)  [all dense matmuls],
+  4. one global layer-potential evaluation of all sigma_g onto the
+     grid-not-in-annulus points and all interfaces (on-the-fly f64 kernel),
+  5. per boundary 'correct': subtract own contribution, u2s re-match,
+     evaluate total sigma_r onto the radial grid,
+  6. NUFFT radial->grid merge, mask to the physical region.
+
+Derivation of the interface densities (verified in tests): continuity and
+C^1 matching of (uc + L) and (ur + L) across the interface give
+    dlp = uc|_ifc     slp = d(ur)/dn - d(uc)/dn
+with both negated for exterior boundaries.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ipde_tpu.functions import BoundaryFunction, EmbeddedFunction
+from ipde_tpu.geometry.annular import AnnularGeometry, AnnularMetric
+from ipde_tpu.geometry.collection import EmbeddedBoundaryCollection
+from ipde_tpu.geometry.embedded_boundary import EmbeddedBoundary
+from ipde_tpu.ops import kernels, singular as sq
+from ipde_tpu.ops.cx import Cx
+from ipde_tpu.qfs.qfs import QFSEvaluator, laplace_qfs, mh_qfs
+from ipde_tpu.solvers.annular_scalar import (AnnularModifiedHelmholtzSolver,
+                                             AnnularPoissonSolver)
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+class _ScalarHelper:
+    """Per-boundary machinery: annular solver + QFS maps + estimator rows."""
+
+    def __init__(self, solver, ebdy: EmbeddedBoundary,
+                 shared_annular=None):
+        self.ebdy = ebdy
+        self.interior = ebdy.interior
+        geom = AnnularGeometry(ebdy.bdy.N, ebdy.M, ebdy.lb, ebdy.ub,
+                               ebdy.approximate_radius)
+        self.geom = geom
+        self.annular_solver = (shared_annular if shared_annular is not None
+                               else solver._make_annular_solver(geom))
+        self.metric = AnnularMetric(ebdy.bdy.speed, ebdy.bdy.curvature, geom)
+        ifc = ebdy.interface
+        self.grid_source = ebdy.qfs_source_for_side("interface",
+                                                    interior_eval=self.interior)
+        self.radial_source = ebdy.qfs_source_for_side(
+            "interface", interior_eval=not self.interior)
+        self.qfs_g = solver._make_qfs(ifc, self.grid_source, self.interior)
+        self.qfs_r = solver._make_qfs(ifc, self.radial_source,
+                                      not self.interior)
+        # own grid-source -> own interface dense matrix (for 'correct')
+        self.own_src_to_ifc = jnp.asarray(
+            solver._naive_form(self.grid_source, ifc.x, ifc.y))
+        # estimator rows
+        self.f_to_bdy = jnp.asarray(ebdy.interp_f_to_bdy)
+        self.dn_to_bdy = jnp.asarray(ebdy.interp_dn_to_bdy)
+        self.f_to_ifc = jnp.asarray(ebdy.interp_f_to_interface)
+        self.dn_to_ifc = jnp.asarray(ebdy.interp_dn_to_interface)
+        self.ifc_normal = (jnp.asarray(ifc.normal_x), jnp.asarray(ifc.normal_y))
+        self.iterations_last_call = 0
+
+    def solve_and_densities(self, fr, bv, bx, by, tol, maxiter, restart):
+        """Annular solve + QFS densities (reference: internals/scalar.py:68-94)."""
+        zero = jnp.zeros(self.ebdy.bdy.N)
+        ur = self.annular_solver.solve(self.metric, fr, zero, zero, tol=tol,
+                                       maxiter=maxiter, restart=restart)
+        self.iterations_last_call = self.annular_solver.iterations_last_call
+        urn = jnp.matmul(self.dn_to_ifc, ur, precision=_HIGH)
+        ucn = bx * self.ifc_normal[0] + by * self.ifc_normal[1]
+        slp = urn - ucn
+        dlp = bv
+        if not self.interior:
+            slp = -slp
+            dlp = -dlp
+        sigma_g = self.qfs_g([slp, dlp])
+        sigma_r = self.qfs_r([slp, dlp])
+        return ur, sigma_g, sigma_r
+
+    def correct(self, solver, ur, sigma_g, sigma_r, bu):
+        """Fold in other boundaries' fields (reference: internals/scalar.py:95-116)."""
+        # own_src_to_ifc is a naive form: quadrature weights already folded in
+        w = jnp.matmul(self.own_src_to_ifc, sigma_g, precision=_HIGH)
+        sigma_r_adj = self.qfs_r.u2s(bu - w)
+        sigma_r_tot = sigma_r + sigma_r_adj
+        src = self.radial_source
+        rslp = solver._apply(src, sigma_r_tot,
+                             self.ebdy.radial_x.ravel(),
+                             self.ebdy.radial_y.ravel())
+        return ur + rslp.reshape(self.ebdy.radial_shape)
+
+
+class ScalarSolver:
+    """Shared orchestration; subclasses bind the PDE (symbol, kernel, QFS)."""
+
+    def __init__(self, ebdyc: EmbeddedBoundaryCollection,
+                 helpers: Optional[List] = None):
+        self.ebdyc = ebdyc
+        if ebdyc.grid is None:
+            raise ValueError("collection has no registered grid")
+        self.helpers = [ _ScalarHelper(self, e) for e in ebdyc ]
+        # merged grid sources
+        gx = np.concatenate([h.grid_source.x for h in self.helpers])
+        gy = np.concatenate([h.grid_source.y for h in self.helpers])
+        gw = np.concatenate([h.grid_source.weights for h in self.helpers])
+        self.grid_src_x = jnp.asarray(gx)
+        self.grid_src_y = jnp.asarray(gy)
+        self.grid_src_w = jnp.asarray(gw)
+        self._symbol = jnp.asarray(self._grid_symbol())
+        self.iteration_counts = []
+
+    # -- PDE bindings (overridden) -----------------------------------------
+    def _make_annular_solver(self, geom):
+        raise NotImplementedError
+
+    def _make_qfs(self, curve, source, interior) -> QFSEvaluator:
+        raise NotImplementedError
+
+    def _naive_form(self, src, tx, ty) -> np.ndarray:
+        raise NotImplementedError
+
+    def _apply(self, src_curve, density, tx, ty):
+        raise NotImplementedError
+
+    def _grid_symbol(self) -> np.ndarray:
+        raise NotImplementedError
+
+    def _prepare_grid_rhs(self, fc):
+        return fc
+
+    # -- main ---------------------------------------------------------------
+    def __call__(self, f: EmbeddedFunction, tol: float = 1e-14,
+                 maxiter: int = 200, restart: int = 40,
+                 verbose: bool = False) -> EmbeddedFunction:
+        ebdyc = self.ebdyc
+        fft_plan = ebdyc.fft_plan
+        fc = f.grid * ebdyc.grid_step_dev
+        fc = self._prepare_grid_rhs(fc)
+        modes = fft_plan.fft2(fc)
+        uch = Cx(modes.re * self._symbol, modes.im * self._symbol)
+        uc = fft_plan.ifft2_real(uch)
+        # interface values + gradients from the mode array (batched NUFFT)
+        kx, ky = ebdyc.kx_dev, ebdyc.ky_dev
+        stack = Cx(jnp.stack([uch.re, -uch.im * kx, -uch.im * ky]),
+                   jnp.stack([uch.im, uch.re * kx, uch.re * ky]))
+        all_iv = ebdyc.interpolate_grid_to_interface_modes(stack)
+        bvs, bxs, bys = all_iv[0], all_iv[1], all_iv[2]
+        bvl = ebdyc.v2l(bvs)
+        bxl = ebdyc.v2l(bxs)
+        byl = ebdyc.v2l(bys)
+        # per-boundary annular solves + densities
+        urs, sig_gs, sig_rs = [], [], []
+        for h, fr, bv, bx, by in zip(self.helpers, f.radials, bvl, bxl, byl):
+            ur, sg, sr = h.solve_and_densities(fr, bv, bx, by, tol, maxiter,
+                                               restart)
+            urs.append(ur)
+            sig_gs.append(sg)
+            sig_rs.append(sr)
+        self.iteration_counts = [h.iterations_last_call for h in self.helpers]
+        if verbose:
+            print("annular iterations:", self.iteration_counts)
+        # global layer evaluation onto pna + interfaces
+        sigma_g = jnp.concatenate(sig_gs)
+        tx = jnp.concatenate([jnp.asarray(ebdyc.pna_x),
+                              jnp.asarray(ebdyc.all_interface_x)])
+        ty = jnp.concatenate([jnp.asarray(ebdyc.pna_y),
+                              jnp.asarray(ebdyc.all_interface_y)])
+        out = self._apply_merged(sigma_g, tx, ty)
+        n_pna = ebdyc.pna_x.size
+        gu = out[:n_pna]
+        bus = ebdyc.v2l(out[n_pna:])
+        # add grid-side correction on pna points
+        uc = uc.ravel().at[jnp.asarray(ebdyc.pna_flat, jnp.int32)].add(gu)
+        uc = uc.reshape(ebdyc.grid.shape)
+        # per-boundary radial corrections
+        urs = [h.correct(self, ur, sg, sr, bu)
+               for h, ur, sg, sr, bu in
+               zip(self.helpers, urs, sig_gs, sig_rs, bus)]
+        # merge radial solutions onto the grid, mask physical
+        uc = ebdyc.interpolate_radial_to_grid(urs, uc)
+        uc = uc * ebdyc.phys_dev
+        return EmbeddedFunction(uc, urs)
+
+    def _apply_merged(self, sigma_g, tx, ty):
+        raise NotImplementedError
+
+    # -- boundary data extraction --------------------------------------------
+    def get_boundary_values(self, ue: EmbeddedFunction) -> BoundaryFunction:
+        return BoundaryFunction(
+            [jnp.matmul(h.f_to_bdy, fr, precision=_HIGH)
+             for h, fr in zip(self.helpers, ue.radials)])
+
+    def get_boundary_normal_derivatives(self, ue) -> BoundaryFunction:
+        return BoundaryFunction(
+            [jnp.matmul(h.dn_to_bdy, fr, precision=_HIGH)
+             for h, fr in zip(self.helpers, ue.radials)])
+
+
+class PoissonSolver(ScalarSolver):
+    """lap u = f (reference: ipde/solvers/multi_boundary/poisson.py)."""
+
+    def __init__(self, ebdyc, **kw):
+        if ebdyc.bumpy is None:
+            ebdyc.ready_bump()
+        super().__init__(ebdyc, **kw)
+
+    def _make_annular_solver(self, geom):
+        return AnnularPoissonSolver(geom)
+
+    def _make_qfs(self, curve, source, interior):
+        return laplace_qfs(curve, source, interior)
+
+    def _naive_form(self, src, tx, ty):
+        return sq.laplace_slp_naive(src, tx, ty)
+
+    def _apply(self, src_curve, density, tx, ty):
+        return kernels.laplace_slp_apply(
+            jnp.asarray(src_curve.x), jnp.asarray(src_curve.y),
+            density * jnp.asarray(src_curve.weights), tx, ty)
+
+    def _apply_merged(self, sigma_g, tx, ty):
+        return kernels.laplace_slp_apply(self.grid_src_x, self.grid_src_y,
+                                         sigma_g * self.grid_src_w, tx, ty)
+
+    def _grid_symbol(self):
+        lap = self.ebdyc.lap.copy()
+        lap[0, 0] = np.inf
+        return 1.0 / lap
+
+    def _prepare_grid_rhs(self, fc):
+        return self.ebdyc.demean_function(fc)
+
+
+class ModifiedHelmholtzSolver(ScalarSolver):
+    """(k^2 - lap) u = f (reference: multi_boundary/modified_helmholtz.py).
+
+    NOTE the sign convention: the grid solve inverts (k^2 - lap) directly,
+    so `f` is the right-hand side of (k^2 - lap) u = f.
+    """
+
+    def __init__(self, ebdyc, k: float, **kw):
+        self.k = float(k)
+        super().__init__(ebdyc, **kw)
+
+    def _make_annular_solver(self, geom):
+        return AnnularModifiedHelmholtzSolver(geom, k=self.k)
+
+    def _make_qfs(self, curve, source, interior):
+        return mh_qfs(curve, source, interior, self.k)
+
+    def _naive_form(self, src, tx, ty):
+        return sq.mh_slp_naive(src, tx, ty, self.k)
+
+    def _apply(self, src_curve, density, tx, ty):
+        return kernels.mh_slp_apply(
+            jnp.asarray(src_curve.x), jnp.asarray(src_curve.y),
+            density * jnp.asarray(src_curve.weights), tx, ty, self.k)
+
+    def _apply_merged(self, sigma_g, tx, ty):
+        return kernels.mh_slp_apply(self.grid_src_x, self.grid_src_y,
+                                    sigma_g * self.grid_src_w, tx, ty, self.k)
+
+    def _grid_symbol(self):
+        return 1.0 / (self.k**2 - self.ebdyc.lap)

@@ -1,0 +1,52 @@
+"""Flagship end-to-end MMS test: interior Poisson with Dirichlet BC on a
+star domain (reference: examples/interior_poisson.py, 'easy' problem;
+regression ledger: examples/poisson_for_paper.py:113 gives 5.6e-4 @ nb=200,
+9.7e-7 @ 600, 2.5e-11 @ 1200 -- we beat that curve)."""
+
+import numpy as np
+import pytest
+
+from ipde_tpu.functions import BoundaryFunction, EmbeddedFunction
+from ipde_tpu.geometry.collection import EmbeddedBoundaryCollection
+from ipde_tpu.geometry.curve import star
+from ipde_tpu.geometry.embedded_boundary import EmbeddedBoundary
+from ipde_tpu.solvers.bie import DirichletBIE
+from ipde_tpu.solvers.scalar import PoissonSolver
+
+
+def solution_func(x, y):
+    return -np.cos(x) * np.exp(np.sin(x)) * np.sin(y)
+
+
+def force_func(x, y):
+    return ((2.0 * np.cos(x) + 3.0 * np.cos(x) * np.sin(x) - np.cos(x) ** 3)
+            * np.exp(np.sin(x)) * np.sin(y))
+
+
+def _run(nb, M):
+    bdy = star(nb, a=0.2, f=5)
+    bh = bdy.min_h()
+    ebdy = EmbeddedBoundary(bdy, True, M, bh, qfs_tolerance=1e-14)
+    ebdyc = EmbeddedBoundaryCollection([ebdy])
+    ebdyc.generate_grid(bh)
+    f = EmbeddedFunction.from_function(ebdyc, force_func)
+    ua = EmbeddedFunction.from_function(ebdyc, solution_func)
+    bc = BoundaryFunction.from_function(ebdyc, solution_func)
+    solver = PoissonSolver(ebdyc)
+    bie = DirichletBIE(solver)
+    ue = bie.apply_bc(solver(f, tol=1e-14), bc)
+    err = abs(ue - ua)
+    re = float(np.abs(np.asarray(err.radials[0])).max())
+    ge = float(np.asarray(err.grid)[np.asarray(ebdyc.phys)].max())
+    return max(re, ge), solver.iteration_counts[0]
+
+
+def test_interior_poisson_coarse():
+    err, iters = _run(400, 16)
+    assert err < 1e-6, f"interior Poisson nb=400: err {err:.2e}"
+
+
+def test_interior_poisson_fine():
+    err, iters = _run(800, 20)
+    assert err < 5e-10, f"interior Poisson nb=800: err {err:.2e}"
+    assert iters < 60
