@@ -1,0 +1,92 @@
+"""Benchmark: full interior Poisson solve (the flagship path) on one chip.
+
+Prints ONE JSON line:
+  {"metric": "interior_poisson_solve_ms", "value": ..., "unit": "ms",
+   "vs_baseline": ...}
+
+Baseline: the reference's CPU record for the inhomogeneous Poisson solve,
+891 ms at 309k dof (reference: examples/poisson_for_paper.py:128,131),
+linearly scaled to this problem's dof count.  vs_baseline > 1 means faster
+than the reference.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ipde_tpu.functions import BoundaryFunction, EmbeddedFunction
+    from ipde_tpu.geometry.collection import EmbeddedBoundaryCollection
+    from ipde_tpu.geometry.curve import star
+    from ipde_tpu.geometry.embedded_boundary import EmbeddedBoundary
+    from ipde_tpu.solvers.bie import DirichletBIE
+    from ipde_tpu.solvers.scalar import PoissonSolver
+
+    nb = int(os.environ.get("BENCH_NB", 400))
+    M = int(os.environ.get("BENCH_M", 14))
+
+    sol = lambda x, y: -np.cos(x) * np.exp(np.sin(x)) * np.sin(y)
+    frc = lambda x, y: ((2.0 * np.cos(x) + 3.0 * np.cos(x) * np.sin(x)
+                         - np.cos(x) ** 3) * np.exp(np.sin(x)) * np.sin(y))
+    t0 = time.time()
+    bdy = star(nb, a=0.2, f=5)
+    bh = min(bdy.min_h(), 0.6 / np.abs(bdy.curvature).max() / M)
+    ebdy = EmbeddedBoundary(bdy, True, M, bh, qfs_tolerance=1e-14)
+    ebdyc = EmbeddedBoundaryCollection([ebdy])
+    grid = ebdyc.generate_grid(bh)
+    f = EmbeddedFunction.from_function(ebdyc, frc)
+    ua = EmbeddedFunction.from_function(ebdyc, sol)
+    bc = BoundaryFunction.from_function(ebdyc, sol)
+    solver = PoissonSolver(ebdyc)
+    bie = DirichletBIE(solver)
+    print(f"# setup {time.time()-t0:.1f}s grid={grid.shape} "
+          f"backend={jax.default_backend()}", file=sys.stderr)
+
+    def step(f_grid, f_radial):
+        ef = EmbeddedFunction(f_grid, [f_radial])
+        ue = bie.apply_bc(solver(ef, tol=1e-12, maxiter=100, restart=30), bc)
+        return ue.grid, ue.radials[0]
+
+    jstep = jax.jit(step)
+    t0 = time.time()
+    out = jstep(f.grid, f.radials[0])
+    jax.block_until_ready(out)
+    print(f"# compile+first run {time.time()-t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        out = jstep(f.grid, f.radials[0])
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    ms = float(np.median(times) * 1e3)
+
+    # accuracy guard (reported to stderr, not the metric line)
+    ue_grid, ue_rad = out
+    ge = float(np.abs(np.asarray(ue_grid) - np.asarray(ua.grid))
+               [np.asarray(ebdyc.phys)].max())
+    re = float(np.abs(np.asarray(ue_rad) - np.asarray(ua.radials[0])).max())
+    err = max(ge, re)
+    print(f"# max err {err:.2e}", file=sys.stderr)
+
+    dof = int(ebdyc.phys.sum() + sum(np.prod(e.radial_shape) for e in ebdyc))
+    baseline_ms = 891.0 * (dof / 309000.0)
+    print(json.dumps({
+        "metric": "interior_poisson_solve_ms",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

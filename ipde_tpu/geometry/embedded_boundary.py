@@ -47,6 +47,22 @@ class EmbeddedBoundary:
         self.mollifier = SlepianMollifier(self.slepian_r)
         self.radial_width = self.M * self.h
         self.heaviside_width = self.radial_width - self.pad_zone * self.h
+        # the boundary-fitted map x = c(t) + r n(t) degenerates where
+        # 1 + r*kappa <= 0; require a healthy margin or the annular
+        # operator becomes singular (GMRES then stalls mysteriously)
+        lb_chk, ub_chk = ((-self.radial_width, 0.0) if self.interior
+                          else (0.0, self.radial_width))
+        min_jac = min(float((1.0 + lb_chk * bdy.curvature).min()),
+                      float((1.0 + ub_chk * bdy.curvature).min()))
+        self.min_annulus_jacobian = min_jac
+        if min_jac <= 0.05:
+            import warnings
+            warnings.warn(
+                f"radial width {self.radial_width:.3g} is at/beyond the "
+                f"boundary's curvature radius (min annulus Jacobian "
+                f"{min_jac:.3f}); the annular solve may stall unless the "
+                f"boundary is finely resolved. Consider M*h < "
+                f"~{0.8 / np.abs(bdy.curvature).max():.3g}.")
         self._generate_radial_grid()
         self._generate_qfs_source_curves()
         self.registration = None

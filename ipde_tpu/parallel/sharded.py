@@ -1,0 +1,79 @@
+"""Multi-chip sharding of the hot evaluation paths (jax.sharding + shard_map).
+
+The reference is single-process (SURVEY.md 2.3); the natural parallel axes on
+a TPU mesh are:
+  (a) the target-point axis of dense layer-potential evaluation -- shard
+      targets, replicate sources, no communication (DP-like),
+  (b) the source axis -- shard sources, psum partial potentials (TP-like),
+  (c) the boundary axis in multi-body problems -- per-boundary annular
+      solves are independent until the global sigma_g coupling, which is one
+      all-gather (SURVEY.md 2.3(b)).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+def make_mesh(n_devices: int = None, axis: str = "p") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def sharded_laplace_slp_apply(mesh: Mesh, sx, sy, weighted_charge, tx, ty,
+                              axis: str = "p"):
+    """Target-sharded dense Laplace SLP: each device evaluates its slice of
+    targets against replicated sources; result is the gathered vector.
+
+    Targets are padded to a multiple of the mesh size.
+    """
+    n = mesh.devices.size
+    T = tx.shape[0]
+    Tp = -(-T // n) * n
+    txp = jnp.pad(jnp.asarray(tx), (0, Tp - T))
+    typ = jnp.pad(jnp.asarray(ty), (0, Tp - T))
+
+    def local(sx_, sy_, q_, ctx, cty):
+        dx = ctx[:, None] - sx_[None, :]
+        dy = cty[:, None] - sy_[None, :]
+        return jnp.matmul(-jnp.log(dx * dx + dy * dy), q_,
+                          precision=_HIGH) / (4 * jnp.pi)
+
+    f = shard_map(local, mesh=mesh,
+                  in_specs=(P(), P(), P(), P(axis), P(axis)),
+                  out_specs=P(axis))
+    out = f(jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(weighted_charge),
+            txp, typ)
+    return out[:T]
+
+
+def source_sharded_laplace_slp_apply(mesh: Mesh, sx, sy, weighted_charge,
+                                     tx, ty, axis: str = "p"):
+    """Source-sharded (TP-like) dense Laplace SLP with a psum reduction."""
+    n = mesh.devices.size
+    S = sx.shape[0]
+    Sp = -(-S // n) * n
+    sxp = jnp.pad(jnp.asarray(sx), (0, Sp - S))
+    syp = jnp.pad(jnp.asarray(sy), (0, Sp - S), constant_values=1e6)
+    qp = jnp.pad(jnp.asarray(weighted_charge), (0, Sp - S))
+
+    def local(sx_, sy_, q_, ctx, cty):
+        dx = ctx[:, None] - sx_[None, :]
+        dy = cty[:, None] - sy_[None, :]
+        part = jnp.matmul(-jnp.log(dx * dx + dy * dy), q_,
+                          precision=_HIGH) / (4 * jnp.pi)
+        return jax.lax.psum(part, axis)
+
+    f = shard_map(local, mesh=mesh,
+                  in_specs=(P(axis), P(axis), P(axis), P(), P()),
+                  out_specs=P())
+    return f(sxp, syp, qp, jnp.asarray(tx), jnp.asarray(ty))

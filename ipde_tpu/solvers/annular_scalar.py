@@ -158,7 +158,11 @@ class AnnularScalarSolver:
             [top, jnp.asarray(g_lb)[None], jnp.asarray(g_ub)[None]], axis=0)
         u, iters, resid = _solve_jit(ops, rhs.ravel(), self.M, self.n,
                                      maxiter, restart, jnp.asarray(tol))
-        self.iterations_last_call = int(iters)
+        try:
+            self.iterations_last_call = int(iters)
+        except (jax.errors.TracerIntegerConversionError,
+                jax.errors.ConcretizationTypeError):
+            self.iterations_last_call = iters  # inside an outer jit trace
         if verbose:
             print(f"annular GMRES: {int(iters)} iters, resid {float(resid):.2e}")
         return u
