@@ -196,3 +196,60 @@ def mh_dlp_self(curve: BoundaryCurve, k: float) -> np.ndarray:
     np.fill_diagonal(B, -curve.curvature / (4 * np.pi))
     W = log_quad_circulant(n)
     return (A * W + B * curve.dt) * curve.speed[None, :]
+
+
+# ---------------------------------------------------------------------------
+# normal-derivative-of-SLP forms (Neumann boundary conditions)
+# ---------------------------------------------------------------------------
+
+def laplace_slp_normal_naive(src: BoundaryCurve, tx, ty, tnx, tny) -> np.ndarray:
+    """d/dn_x of the Laplace SLP at off-surface targets with normals
+    (tnx, tny): kernel -(x-y).n_x / (2 pi r^2)."""
+    dx, dy, r2 = _pairwise(src, np.asarray(tx).ravel(), np.asarray(ty).ravel())
+    dot = dx * np.asarray(tnx).ravel()[:, None] + dy * np.asarray(tny).ravel()[:, None]
+    return -dot / (2 * np.pi * r2) * src.weights[None, :]
+
+
+def laplace_slp_normal_self(curve: BoundaryCurve) -> np.ndarray:
+    """PV of d/dn_x SLP on the curve; smooth kernel, diagonal limit
+    (x-y).n_x/r^2 -> +kappa/2, so K -> -kappa/(4 pi).
+    One-sided limits: interior (from inside, outward n): PV + tau/2;
+    exterior: PV - tau/2 (verified in tests)."""
+    n = curve.N
+    dx, dy, r2 = _pairwise(curve, curve.x, curve.y)
+    off = ~np.eye(n, dtype=bool)
+    dot = dx * curve.normal_x[:, None] + dy * curve.normal_y[:, None]
+    K = np.empty((n, n))
+    K[off] = -dot[off] / (2 * np.pi * r2[off])
+    np.fill_diagonal(K, -curve.curvature / (4 * np.pi))
+    return K * curve.weights[None, :]
+
+
+def mh_slp_normal_naive(src: BoundaryCurve, tx, ty, tnx, tny, k: float) -> np.ndarray:
+    """d/dn_x of the Yukawa SLP: -k K1(k r) (x-y).n_x / (2 pi r)."""
+    dx, dy, r2 = _pairwise(src, np.asarray(tx).ravel(), np.asarray(ty).ravel())
+    r = np.sqrt(r2)
+    dot = dx * np.asarray(tnx).ravel()[:, None] + dy * np.asarray(tny).ravel()[:, None]
+    return -k * k1(k * r) * dot / (2 * np.pi * r) * src.weights[None, :]
+
+
+def mh_slp_normal_self(curve: BoundaryCurve, k: float) -> np.ndarray:
+    """PV of d/dn_x of the Yukawa SLP (banded Kress split, mirroring
+    mh_dlp_self with the target normal)."""
+    n = curve.N
+    dx, dy, r2 = _pairwise(curve, curve.x, curve.y)
+    r = np.sqrt(np.maximum(r2, 1e-300))
+    t = curve.t
+    s2 = 4.0 * np.sin((t[:, None] - t[None, :]) / 2.0) ** 2
+    dot = dx * curve.normal_x[:, None] + dy * curve.normal_y[:, None]
+    z = k * r
+    band = _kress_band(z)
+    A = -k * i1(np.minimum(z, 7.0)) * band * dot / (4 * np.pi * r)
+    np.fill_diagonal(A, 0.0)
+    off = ~np.eye(n, dtype=bool)
+    B = np.zeros((n, n))
+    B[off] = (-k * k1(z[off]) * dot[off] / (2 * np.pi * r[off])
+              - A[off] * np.log(s2[off]))
+    np.fill_diagonal(B, -curve.curvature / (4 * np.pi))
+    W = log_quad_circulant(n)
+    return (A * W + B * curve.dt) * curve.speed[None, :]

@@ -112,3 +112,190 @@ def solve_dirichlet(solver: ScalarSolver, f: EmbeddedFunction,
         bie = DirichletBIE(solver)
     ue = solver(f, **kw)
     return bie.apply_bc(ue, bc)
+
+
+class StokesDirichletBIE:
+    """Dense velocity-Dirichlet BIE for the Stokes solver.
+
+    Representation (reference: examples/multi_stokes_for_paper.py:117-190):
+    interior boundary -> DLP[tau] with the normal-flux rank completion;
+    exterior (inclusion) boundaries -> (SLP+DLP)[tau]; one-sided limits from
+    the physical side.
+    """
+
+    def __init__(self, solver):
+        from ipde_tpu.ops import stokes_kernels as sk
+        self.solver = solver
+        ebdyc = solver.ebdyc
+        self.ebdyc = ebdyc
+        Ns = [e.bdy.N for e in ebdyc]
+        offs = np.concatenate([[0], np.cumsum([2 * n for n in Ns])])
+        total = offs[-1]
+        A = np.zeros((total, total))
+        for i, ei in enumerate(ebdyc):
+            for j, ej in enumerate(ebdyc):
+                bi, bj = ei.bdy, ej.bdy
+                if i == j:
+                    if ej.interior:
+                        blk = (sk.stokes_dlp_self(bj)
+                               - 0.5 * np.eye(2 * bj.N)
+                               + sk.stokes_pressure_fix(bj, bj.normal_x,
+                                                        bj.normal_y))
+                    else:
+                        blk = (sk.stokes_dlp_self(bj)
+                               + sk.stokes_slp_self(bj)
+                               + 0.5 * np.eye(2 * bj.N))
+                else:
+                    if ej.interior:
+                        blk = (sk.stokes_dlp_naive(bj, bi.x, bi.y)
+                               + sk.stokes_pressure_fix(bj, bi.normal_x,
+                                                        bi.normal_y))
+                    else:
+                        blk = (sk.stokes_dlp_naive(bj, bi.x, bi.y)
+                               + sk.stokes_slp_naive(bj, bi.x, bi.y))
+                A[offs[i]:offs[i + 1], offs[j]:offs[j + 1]] = blk
+        self.Ainv = jnp.asarray(np.linalg.inv(A))
+        self.offs = offs
+        # per-boundary QFS (forms matched from the physical side)
+        from ipde_tpu.solvers.vector import stokes_qfs
+        self.qfs_list = []
+        self.src_list = []
+        for e in ebdyc:
+            src = e.qfs_source_for_side("bdy", interior_eval=e.interior)
+            self.src_list.append(src)
+            self.qfs_list.append(
+                stokes_qfs(e.bdy, src, e.interior,
+                           slp=not e.interior, dlp=True))
+        self.phys_flat = jnp.asarray(np.flatnonzero(ebdyc.phys), jnp.int32)
+        self.phys_x = jnp.asarray(ebdyc.grid.xg[ebdyc.phys])
+        self.phys_y = jnp.asarray(ebdyc.grid.yg[ebdyc.phys])
+
+    def apply_bc(self, u, v, p, bc_u, bc_v):
+        """Correct (u, v, p) to satisfy the velocity boundary conditions."""
+        from ipde_tpu.ops import stokes_kernels as sk
+        solver = self.solver
+        bu = solver.get_boundary_values(u)
+        bv = solver.get_boundary_values(v)
+        rhs = jnp.concatenate([
+            jnp.concatenate([bcu - bu_i, bcv - bv_i])
+            for bcu, bcv, bu_i, bv_i in
+            zip(bc_u.values, bc_v.values, bu.values, bv.values)])
+        tau = jnp.matmul(self.Ainv, rhs, precision=_HIGH)
+        taus = [tau[self.offs[i]:self.offs[i + 1]]
+                for i in range(len(self.ebdyc.ebdys))]
+        # QFS: interior boundaries have DLP-only forms; exterior SLP+DLP of
+        # the same density
+        sigmas = []
+        for e, q, t in zip(self.ebdyc, self.qfs_list, taus):
+            if e.interior:
+                sigmas.append(q([t]))
+            else:
+                sigmas.append(q([t, t]))
+        du = jnp.zeros(self.phys_x.shape[0])
+        dv = jnp.zeros_like(du)
+        dp = jnp.zeros_like(du)
+        radial_updates = [[jnp.zeros(e.radial_shape) for e in self.ebdyc]
+                          for _ in range(3)]
+        for src, sig in zip(self.src_list, sigmas):
+            w = jnp.asarray(src.weights)
+            gu, gv, gp = sk.stokes_slp_apply(src.x, src.y, sig[:src.N] * w,
+                                             sig[src.N:] * w, self.phys_x,
+                                             self.phys_y)
+            du, dv, dp = du + gu, dv + gv, dp + gp
+            for i, e in enumerate(self.ebdyc):
+                ru, rv, rp = sk.stokes_slp_apply(
+                    src.x, src.y, sig[:src.N] * w, sig[src.N:] * w,
+                    jnp.asarray(e.radial_x.ravel()),
+                    jnp.asarray(e.radial_y.ravel()))
+                sh = e.radial_shape
+                radial_updates[0][i] = radial_updates[0][i] + ru.reshape(sh)
+                radial_updates[1][i] = radial_updates[1][i] + rv.reshape(sh)
+                radial_updates[2][i] = radial_updates[2][i] + rp.reshape(sh)
+        sh = u.grid.shape
+        u2 = EmbeddedFunction(u.grid.ravel().at[self.phys_flat].add(du).reshape(sh),
+                              [a + b for a, b in zip(u.radials, radial_updates[0])])
+        v2 = EmbeddedFunction(v.grid.ravel().at[self.phys_flat].add(dv).reshape(sh),
+                              [a + b for a, b in zip(v.radials, radial_updates[1])])
+        p2 = EmbeddedFunction(p.grid.ravel().at[self.phys_flat].add(dp).reshape(sh),
+                              [a + b for a, b in zip(p.radials, radial_updates[2])])
+        return u2, v2, p2
+
+
+class NeumannBIE:
+    """Dense Neumann BIE: u_H = sum_j SLP_j[sigma_j], collocating the normal
+    derivative from the physical side (reference:
+    examples/interior_modified_helmholtz_using_multi_neumann_bc.py).
+
+    For the modified Helmholtz kernel the system is well posed; for Laplace
+    an interior pure-Neumann problem carries the usual compatibility
+    condition and the constant nullspace is pinned with a mean constraint.
+    """
+
+    def __init__(self, solver: ScalarSolver):
+        self.solver = solver
+        ebdyc = solver.ebdyc
+        self.ebdyc = ebdyc
+        is_mh = isinstance(solver, ModifiedHelmholtzSolver)
+        Ns = [e.bdy.N for e in ebdyc]
+        offs = np.concatenate([[0], np.cumsum(Ns)])
+        A = np.zeros((offs[-1], offs[-1]))
+        for i, ei in enumerate(ebdyc):
+            for j, ej in enumerate(ebdyc):
+                bi, bj = ei.bdy, ej.bdy
+                if i == j:
+                    if is_mh:
+                        blk = sq.mh_slp_normal_self(bj, solver.k)
+                    else:
+                        blk = sq.laplace_slp_normal_self(bj)
+                    jump = 0.5 if ej.interior else -0.5
+                    blk = blk + jump * np.eye(bj.N)
+                else:
+                    if is_mh:
+                        blk = sq.mh_slp_normal_naive(bj, bi.x, bi.y,
+                                                     bi.normal_x, bi.normal_y,
+                                                     solver.k)
+                    else:
+                        blk = sq.laplace_slp_normal_naive(bj, bi.x, bi.y,
+                                                          bi.normal_x,
+                                                          bi.normal_y)
+                A[offs[i]:offs[i + 1], offs[j]:offs[j + 1]] = blk
+        if not is_mh and len(ebdyc.ebdys) == 1 and ebdyc.ebdys[0].interior:
+            # pin the Laplace Neumann nullspace: add mean(sigma) to all rows
+            A += ebdyc.ebdys[0].bdy.weights[None, :]
+        self.Ainv = jnp.asarray(np.linalg.inv(A))
+        self.offs = offs
+        self.qfs_list = []
+        self.src_list = []
+        for e in ebdyc:
+            src = e.qfs_source_for_side("bdy", interior_eval=e.interior)
+            self.src_list.append(src)
+            self.qfs_list.append(
+                solver._make_qfs_slp_only(e.bdy, src, e.interior))
+        self.phys_flat = jnp.asarray(np.flatnonzero(ebdyc.phys), jnp.int32)
+        self.phys_x = jnp.asarray(ebdyc.grid.xg[ebdyc.phys])
+        self.phys_y = jnp.asarray(ebdyc.grid.yg[ebdyc.phys])
+
+    def apply_bc(self, ue: EmbeddedFunction,
+                 bc_n: BoundaryFunction) -> EmbeddedFunction:
+        """Correct ue so that du/dn = bc_n on every boundary."""
+        solver = self.solver
+        bns = solver.get_boundary_normal_derivatives(ue)
+        rhs = jnp.concatenate([(b - v) for b, v in
+                               zip(bc_n.values, bns.values)])
+        sig = jnp.matmul(self.Ainv, rhs, precision=_HIGH)
+        sigs = [sig[self.offs[i]:self.offs[i + 1]]
+                for i in range(len(self.ebdyc.ebdys))]
+        xis = [q([s]) for q, s in zip(self.qfs_list, sigs)]
+        grid_vals = jnp.zeros(self.phys_x.shape[0])
+        radial_vals = [jnp.zeros(e.radial_shape) for e in self.ebdyc]
+        for src, xi in zip(self.src_list, xis):
+            grid_vals = grid_vals + solver._apply(src, xi, self.phys_x,
+                                                  self.phys_y)
+            for i, e in enumerate(self.ebdyc):
+                v = solver._apply(src, xi,
+                                  jnp.asarray(e.radial_x.ravel()),
+                                  jnp.asarray(e.radial_y.ravel()))
+                radial_vals[i] = radial_vals[i] + v.reshape(e.radial_shape)
+        new_grid = ue.grid.ravel().at[self.phys_flat].add(grid_vals)
+        new_radials = [r + dv for r, dv in zip(ue.radials, radial_vals)]
+        return EmbeddedFunction(new_grid.reshape(ue.grid.shape), new_radials)

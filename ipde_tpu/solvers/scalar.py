@@ -130,6 +130,9 @@ class ScalarSolver:
     def _make_qfs(self, curve, source, interior) -> QFSEvaluator:
         raise NotImplementedError
 
+    def _make_qfs_slp_only(self, curve, source, interior) -> QFSEvaluator:
+        raise NotImplementedError
+
     def _naive_form(self, src, tx, ty) -> np.ndarray:
         raise NotImplementedError
 
@@ -224,6 +227,9 @@ class PoissonSolver(ScalarSolver):
     def _make_qfs(self, curve, source, interior):
         return laplace_qfs(curve, source, interior)
 
+    def _make_qfs_slp_only(self, curve, source, interior):
+        return laplace_qfs(curve, source, interior, slp=True, dlp=False)
+
     def _naive_form(self, src, tx, ty):
         return sq.laplace_slp_naive(src, tx, ty)
 
@@ -261,6 +267,9 @@ class ModifiedHelmholtzSolver(ScalarSolver):
 
     def _make_qfs(self, curve, source, interior):
         return mh_qfs(curve, source, interior, self.k)
+
+    def _make_qfs_slp_only(self, curve, source, interior):
+        return mh_qfs(curve, source, interior, self.k, slp=True, dlp=False)
 
     def _naive_form(self, src, tx, ty):
         return sq.mh_slp_naive(src, tx, ty, self.k)

@@ -1,0 +1,285 @@
+"""Multi-boundary inhomogeneous Stokes solver.
+
+Solves  -lap u + grad p = f,  div u = 0  (mu = 1) on the embedded domain.
+Reference: ipde/solvers/multi_boundary/vector.py:57-112, stokes.py,
+internals/vector.py:63-162, internals/stokes.py.
+
+Same orchestration as the scalar path with vector data:
+  1. box solve by spectral pressure projection of the rolled-off forcing,
+  2. interpolate (u, v, p, ux, uy, vx, vy) to the interfaces in ONE batched
+     mode-space NUFFT; form the grid solution's traction there,
+  3. per boundary: annular Stokes solve (zero velocity BCs), interface
+     traction of the radial solution; SLP density = traction jump, DLP
+     density = grid velocity; QFS -> sigma_g, sigma_r,
+  4. one global Stokeslet evaluation (u, v, p) onto pna + interfaces,
+  5. per-boundary correction, radial->grid merge.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ipde_tpu.functions import BoundaryFunction, EmbeddedFunction
+from ipde_tpu.geometry.annular import AnnularGeometry, AnnularMetric
+from ipde_tpu.geometry.collection import EmbeddedBoundaryCollection
+from ipde_tpu.geometry.embedded_boundary import EmbeddedBoundary
+from ipde_tpu.ops import stokes_kernels as sk
+from ipde_tpu.ops.cx import Cx
+from ipde_tpu.ops.fourier import FourierPlan1D
+from ipde_tpu.qfs.qfs import QFSEvaluator
+from ipde_tpu.solvers.annular_stokes import AnnularStokesSolver
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+def stokes_qfs(curve, source, interior: bool, slp: bool = True,
+               dlp: bool = True, rcond: float = 1e-15) -> QFSEvaluator:
+    """QFS maps for the Stokes velocity layer potentials (2-vector packed).
+
+    The source-to-curve matrix carries the rank-1 normal-flux completion
+    (reference: Fixed_SLP in examples/multi_stokes_for_paper.py) so the
+    least-squares match is well posed; matched data is incompressible, so
+    the completion component of the solution vanishes."""
+    jump = -0.5 if interior else 0.5
+    forms = []
+    if slp:
+        forms.append(sk.stokes_slp_self(curve))
+    if dlp:
+        forms.append(sk.stokes_dlp_self(curve) + jump * np.eye(2 * curve.N))
+    A = (sk.stokes_slp_naive(source, curve.x, curve.y)
+         + sk.stokes_pressure_fix(source, curve.normal_x, curve.normal_y))
+    return QFSEvaluator(source, curve, forms, A, rcond)
+
+
+class _StokesHelper:
+    def __init__(self, solver, ebdy: EmbeddedBoundary):
+        self.ebdy = ebdy
+        self.interior = ebdy.interior
+        geom = AnnularGeometry(ebdy.bdy.N, ebdy.M, ebdy.lb, ebdy.ub,
+                               ebdy.approximate_radius)
+        self.annular_solver = AnnularStokesSolver(geom, mu=1.0)
+        self.metric = AnnularMetric(ebdy.bdy.speed, ebdy.bdy.curvature, geom)
+        ifc = ebdy.interface
+        self.grid_source = ebdy.qfs_source_for_side(
+            "interface", interior_eval=self.interior)
+        self.radial_source = ebdy.qfs_source_for_side(
+            "interface", interior_eval=not self.interior)
+        self.qfs_g = stokes_qfs(ifc, self.grid_source, self.interior)
+        self.qfs_r = stokes_qfs(ifc, self.radial_source, not self.interior)
+        self.own_src_to_ifc = jnp.asarray(
+            sk.stokes_slp_naive(self.grid_source, ifc.x, ifc.y))
+        # estimator rows + radial derivative machinery
+        self.f_to_bdy = jnp.asarray(ebdy.interp_f_to_bdy)
+        self.f_to_ifc = jnp.asarray(ebdy.interp_f_to_interface)
+        self.D00 = jnp.asarray(ebdy.D00)
+        self.plan_t = FourierPlan1D(ebdy.bdy.N)
+        self.inv_rspeed = jnp.asarray(ebdy.inverse_radial_speed)
+        self.rspeed = jnp.asarray(ebdy.radial_speed)
+        b = ebdy.bdy
+        self.nx = jnp.asarray(b.normal_x)
+        self.ny = jnp.asarray(b.normal_y)
+        self.tx = jnp.asarray(b.tangent_x)
+        self.ty = jnp.asarray(b.tangent_y)
+        i = ebdy.interface
+        self.ifc_n = (jnp.asarray(i.normal_x), jnp.asarray(i.normal_y))
+        self.iterations_last_call = 0
+
+    # -- coordinate conversions (reference: embedded_boundary.py:521-530) ----
+    def uv_to_rt(self, fu, fv):
+        return fu * self.nx + fv * self.ny, fu * self.tx + fv * self.ty
+
+    def rt_to_uv(self, fr, ft):
+        return fr * self.nx + ft * self.tx, fr * self.ny + ft * self.ty
+
+    # -- traction on the radial grid (reference: internals/vector.py:87-102) -
+    def _traction_rt(self, Ur, Ut, p, row):
+        mm = lambda a, b: jnp.matmul(a, b, precision=_HIGH)
+        Urr = mm(self.D00, Ur)
+        Urt = self.plan_t.tderiv(Ur) * self.inv_rspeed
+        Utr = self.rspeed * mm(self.D00, Ut * self.inv_rspeed)
+        Tr = 2 * mm(row, Urr) - mm(row, p)
+        Tt = mm(row, Utr) + mm(row, Urt)
+        return Tr, Tt
+
+    def interface_traction_uv(self, u, v, p):
+        Ur, Ut = self.uv_to_rt(u, v)
+        Tr, Tt = self._traction_rt(Ur, Ut, p, self.f_to_ifc)
+        return self.rt_to_uv(Tr, Tt)
+
+    def boundary_traction_uv(self, u, v, p):
+        Ur, Ut = self.uv_to_rt(u, v)
+        Tr, Tt = self._traction_rt(Ur, Ut, p, self.f_to_bdy)
+        return self.rt_to_uv(Tr, Tt)
+
+    # -- main per-boundary step ----------------------------------------------
+    def solve_and_densities(self, fur, fvr, bu, bv, btxx, btxy, btyy,
+                            tol, maxiter, restart):
+        ebdy = self.ebdy
+        nix, niy = self.ifc_n
+        btx = btxx * nix + btxy * niy
+        bty = btxy * nix + btyy * niy
+        fr, ft = self.uv_to_rt(fur, fvr)
+        zero = jnp.zeros(ebdy.bdy.N)
+        rr, tr, pr = self.annular_solver.solve(
+            self.metric, fr, ft, zero, zero, zero, zero, tol=tol,
+            maxiter=maxiter, restart=restart)
+        self.iterations_last_call = self.annular_solver.iterations_last_call
+        ur, vr = self.rt_to_uv(rr, tr)
+        rtx, rty = self.interface_traction_uv(ur, vr, pr)
+        taus = jnp.concatenate([rtx - btx, rty - bty])
+        taud = jnp.concatenate([bu, bv])
+        if not self.interior:
+            taus = -taus
+            taud = -taud
+        sigma_g = self.qfs_g([taus, taud])
+        sigma_r = self.qfs_r([taus, taud])
+        return (ur, vr, pr), sigma_g, sigma_r
+
+    def correct(self, uvp, sigma_g, sigma_r, bu, bv, single: bool):
+        ur, vr, pr = uvp
+        N = self.ebdy.bdy.N
+        if single:
+            sigma_r_tot = sigma_r
+        else:
+            w = jnp.matmul(self.own_src_to_ifc, sigma_g, precision=_HIGH)
+            Ub = jnp.concatenate([bu - w[:N], bv - w[N:]])
+            sigma_r_tot = sigma_r + self.qfs_r.u2s(Ub)
+        src = self.radial_source
+        sN = src.N
+        du, dv, dp = sk.stokes_slp_apply(
+            src.x, src.y,
+            sigma_r_tot[:sN] * jnp.asarray(src.weights),
+            sigma_r_tot[sN:] * jnp.asarray(src.weights),
+            jnp.asarray(self.ebdy.radial_x.ravel()),
+            jnp.asarray(self.ebdy.radial_y.ravel()))
+        sh = self.ebdy.radial_shape
+        return (ur + du.reshape(sh), vr + dv.reshape(sh),
+                pr + dp.reshape(sh))
+
+
+class StokesSolver:
+    """(u, v, p) = solver(fu, fv) with fu/fv EmbeddedFunctions."""
+
+    def __init__(self, ebdyc: EmbeddedBoundaryCollection):
+        self.ebdyc = ebdyc
+        if ebdyc.grid is None:
+            raise ValueError("collection has no registered grid")
+        if ebdyc.bumpy is None:
+            ebdyc.ready_bump()
+        self.helpers = [_StokesHelper(self, e) for e in ebdyc]
+        gx = np.concatenate([h.grid_source.x for h in self.helpers])
+        gy = np.concatenate([h.grid_source.y for h in self.helpers])
+        gw = np.concatenate([h.grid_source.weights for h in self.helpers])
+        self.grid_src_x = jnp.asarray(gx)
+        self.grid_src_y = jnp.asarray(gy)
+        self.grid_src_w = jnp.asarray(gw)
+        self.src_Ns = [h.grid_source.N for h in self.helpers]
+        lap = ebdyc.lap.copy()
+        lap[0, 0] = np.inf
+        self.ilap = jnp.asarray(1.0 / lap)
+        self.iteration_counts = []
+
+    def __call__(self, fu: EmbeddedFunction, fv: EmbeddedFunction,
+                 tol: float = 1e-13, maxiter: int = 200, restart: int = 50,
+                 verbose: bool = False):
+        ebdyc = self.ebdyc
+        plan = ebdyc.fft_plan
+        kx, ky = ebdyc.kx_dev, ebdyc.ky_dev
+        fuc = ebdyc.demean_function(fu.grid * ebdyc.grid_step_dev)
+        fvc = ebdyc.demean_function(fv.grid * ebdyc.grid_step_dev)
+        fuh = plan.fft2(fuc)
+        fvh = plan.fft2(fvc)
+        # pressure projection: p = ilap (ikx fu + iky fv); u = ilap(ikx p - fu)
+        mul_ik = lambda c, k: Cx(-c.im * k, c.re * k)
+        ph = Cx((mul_ik(fuh, kx).re + mul_ik(fvh, ky).re) * self.ilap,
+                (mul_ik(fuh, kx).im + mul_ik(fvh, ky).im) * self.ilap)
+        uh = Cx((mul_ik(ph, kx).re - fuh.re) * self.ilap,
+                (mul_ik(ph, kx).im - fuh.im) * self.ilap)
+        vh = Cx((mul_ik(ph, ky).re - fvh.re) * self.ilap,
+                (mul_ik(ph, ky).im - fvh.im) * self.ilap)
+        uc = plan.ifft2_real(uh)
+        vc = plan.ifft2_real(vh)
+        pc = plan.ifft2_real(ph)
+        # interface data: u, v, p, ux, uy, vx, vy in one batched NUFFT
+        stack = Cx(
+            jnp.stack([uh.re, vh.re, ph.re, mul_ik(uh, kx).re,
+                       mul_ik(uh, ky).re, mul_ik(vh, kx).re,
+                       mul_ik(vh, ky).re]),
+            jnp.stack([uh.im, vh.im, ph.im, mul_ik(uh, kx).im,
+                       mul_ik(uh, ky).im, mul_ik(vh, kx).im,
+                       mul_ik(vh, ky).im]))
+        iv = ebdyc.interpolate_grid_to_interface_modes(stack)
+        bus, bvs, bps = iv[0], iv[1], iv[2]
+        uxs, uys, vxs, vys = iv[3], iv[4], iv[5], iv[6]
+        btxxs = 2 * uxs - bps
+        btxys = uys + vxs
+        btyys = 2 * vys - bps
+        v2l = ebdyc.v2l
+        per = zip(self.helpers, fu.radials, fv.radials, v2l(bus), v2l(bvs),
+                  v2l(btxxs), v2l(btxys), v2l(btyys))
+        uvps, sig_gs, sig_rs = [], [], []
+        for h, fur, fvr, bu, bv, txx, txy, tyy in per:
+            uvp, sg, sr = h.solve_and_densities(fur, fvr, bu, bv, txx, txy,
+                                                tyy, tol, maxiter, restart)
+            uvps.append(uvp)
+            sig_gs.append(sg)
+            sig_rs.append(sr)
+        self.iteration_counts = [h.iterations_last_call for h in self.helpers]
+        if verbose:
+            print("annular Stokes iterations:", self.iteration_counts)
+        # merged sigma_g evaluation onto pna + interfaces
+        wfx = jnp.concatenate([s[:n] for s, n in zip(sig_gs, self.src_Ns)])
+        wfy = jnp.concatenate([s[n:] for s, n in zip(sig_gs, self.src_Ns)])
+        tx = jnp.concatenate([jnp.asarray(ebdyc.pna_x),
+                              jnp.asarray(ebdyc.all_interface_x)])
+        ty = jnp.concatenate([jnp.asarray(ebdyc.pna_y),
+                              jnp.asarray(ebdyc.all_interface_y)])
+        gu, gv, gp = sk.stokes_slp_apply(self.grid_src_x, self.grid_src_y,
+                                         wfx * self.grid_src_w,
+                                         wfy * self.grid_src_w, tx, ty)
+        n_pna = ebdyc.pna_x.size
+        pna_idx = jnp.asarray(ebdyc.pna_flat, jnp.int32)
+        shape = ebdyc.grid.shape
+        uc = uc.ravel().at[pna_idx].add(gu[:n_pna]).reshape(shape)
+        vc = vc.ravel().at[pna_idx].add(gv[:n_pna]).reshape(shape)
+        pc = pc.ravel().at[pna_idx].add(gp[:n_pna]).reshape(shape)
+        bul = v2l(gu[n_pna:])
+        bvl = v2l(gv[n_pna:])
+        # grid-side pressure at the interfaces (FFT solution + sigma_g field)
+        bpl = v2l(bps + gp[n_pna:])
+        single = len(self.helpers) == 1
+        out = [h.correct(uvp, sg, sr, bu, bv, single)
+               for h, uvp, sg, sr, bu, bv in
+               zip(self.helpers, uvps, sig_gs, sig_rs, bul, bvl)]
+        urs = [o[0] for o in out]
+        vrs = [o[1] for o in out]
+        prs = [o[2] for o in out]
+        # Stokes pressure is only defined up to a constant PER REGION: the
+        # annular and grid solves each pin their own; reconcile by matching
+        # mean pressure across each interface (goes beyond the reference,
+        # which leaves the mismatch: internals/vector.py:134-141 FIXME)
+        prs = [pr + jnp.mean(bp - jnp.matmul(h.f_to_ifc, pr, precision=_HIGH))
+               for h, pr, bp in zip(self.helpers, prs, bpl)]
+        uc = ebdyc.interpolate_radial_to_grid(urs, uc) * ebdyc.phys_dev
+        vc = ebdyc.interpolate_radial_to_grid(vrs, vc) * ebdyc.phys_dev
+        pc = ebdyc.interpolate_radial_to_grid(prs, pc) * ebdyc.phys_dev
+        return (EmbeddedFunction(uc, urs), EmbeddedFunction(vc, vrs),
+                EmbeddedFunction(pc, prs))
+
+    def get_boundary_values(self, ue: EmbeddedFunction) -> BoundaryFunction:
+        return BoundaryFunction(
+            [jnp.matmul(h.f_to_bdy, fr, precision=_HIGH)
+             for h, fr in zip(self.helpers, ue.radials)])
+
+    def get_boundary_tractions(self, u, v, p):
+        """Per-boundary (tx, ty) traction of (u, v, p) on the true boundary
+        (reference: multi_boundary/vector.py get_boundary_tractions)."""
+        out = []
+        for h, ur, vr, pr in zip(self.helpers, u.radials, v.radials,
+                                 p.radials):
+            out.append(h.boundary_traction_uv(ur, vr, pr))
+        return out
