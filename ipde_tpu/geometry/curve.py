@@ -121,7 +121,7 @@ def _resample_modes(fh: np.ndarray, n_old: int, n_new: int) -> np.ndarray:
 
 
 def arc_length_parameterize(x: np.ndarray, y: np.ndarray, tol: float = 1e-13,
-                            max_iter: int = 50) -> BoundaryCurve:
+                            max_iter: int = 50, return_t: bool = False):
     """Resample a closed curve at (spectrally) equal arclength increments.
 
     Newton iteration on the Fourier representation of cumulative arclength
@@ -156,7 +156,8 @@ def arc_length_parameterize(x: np.ndarray, y: np.ndarray, tol: float = 1e-13,
         if np.abs(f).max() < tol * L:
             break
     xn, yn = crv.eval_position(t)
-    return BoundaryCurve(xn, yn)
+    out = BoundaryCurve(xn, yn)
+    return (out, t) if return_t else out
 
 
 # ---------------------------------------------------------------------------

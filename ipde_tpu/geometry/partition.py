@@ -1,0 +1,110 @@
+"""Partition of arbitrary point sets against an embedded boundary collection.
+
+Zones (reference: EmbeddedPointPartition, ipde/ebdy_collection.py:37-218):
+  zone 1: physical, in no annulus       -> spectral grid interpolation
+  zone 2: physical, inside an annulus   -> radial Chebyshev-Fourier interp
+  zone 3: not physical                  -> NaN (or boundary-coordinate
+          extrapolation data for the semi-Lagrangian machinery)
+
+Host-side classification (Newton coordinates); the interpolation apply is
+device-side (window-NUFFT gathers).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ipde_tpu.functions import EmbeddedFunction
+from ipde_tpu.geometry.collection import EmbeddedBoundaryCollection
+from ipde_tpu.geometry.coords import (compute_local_coordinates,
+                                      points_inside_curve, points_near_curve)
+from ipde_tpu.ops.interp import PeriodicInterpolator2D
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+class PointPartition:
+    def __init__(self, ebdyc: EmbeddedBoundaryCollection, x, y,
+                 fix_r: bool = False, fix_r_band: float = 1e-8):
+        self.ebdyc = ebdyc
+        x = np.asarray(x, np.float64).ravel()
+        y = np.asarray(y, np.float64).ravel()
+        self.x, self.y = x, y
+        n = x.size
+        phys = np.ones(n, dtype=bool)
+        in_annulus = np.zeros(n, dtype=bool)
+        self.zone2 = []      # per ebdy: (indices, theta(r), t)
+        self.zone3 = []      # per ebdy: (indices, t, r) of its aphysical pts
+        for e in ebdyc:
+            near, guess_t = points_near_curve(e.bdy, x, y,
+                                              e.radial_width * 1.05)
+            idx = np.flatnonzero(near)
+            res = compute_local_coordinates(e.bdy, x[idx], y[idx],
+                                            guess_t[idx],
+                                            e.coordinate_tolerance)
+            r = res.r.copy()
+            t = res.t
+            if fix_r:
+                band = max(fix_r_band, 1e-10)
+                if e.interior:
+                    r[(r > 0) & (r < e.radial_width)] = 0.0
+                else:
+                    r[(r < 0) & (r > -e.radial_width)] = 0.0
+            if e.interior:
+                in_ann = (r <= 0) & (r >= -e.radial_width)
+                inside_phys_near = r <= 0
+            else:
+                in_ann = (r >= 0) & (r <= e.radial_width)
+                inside_phys_near = r >= 0
+            # physical classification: near points by r sign, far by parity
+            inside = points_inside_curve(e.bdy, x, y)
+            this_phys = inside if e.interior else ~inside
+            this_phys[idx] = inside_phys_near
+            phys &= this_phys
+            z2 = idx[in_ann]
+            in_annulus[z2] = True
+            theta = e.nufft_theta(r[in_ann])
+            self.zone2.append((z2, theta, t[in_ann]))
+            z3_local = idx[~inside_phys_near]
+            self.zone3.append((z3_local, t[~inside_phys_near],
+                               r[~inside_phys_near]))
+        self.phys = phys
+        self.zone1 = np.flatnonzero(phys & ~in_annulus)
+        self.zone1_or_2 = phys
+        self.n_ext = int((~phys).sum())
+        # interpolation plans
+        g = ebdyc.grid
+        tx, ty = ebdyc.transf(x[self.zone1], y[self.zone1])
+        self.grid_plan = PeriodicInterpolator2D(g.Nx, g.Ny, tx, ty)
+        self.radial_plans = []
+        for e, (z2, theta, t) in zip(ebdyc, self.zone2):
+            self.radial_plans.append(
+                PeriodicInterpolator2D(2 * e.M, e.bdy.N, theta, t,
+                                       x_offset=np.pi / (2 * e.M)))
+        self.zone1_dev = jnp.asarray(self.zone1, jnp.int32)
+        self.zone2_dev = [jnp.asarray(z2, jnp.int32)
+                          for z2, _, _ in self.zone2]
+
+    def interpolate(self, ef: EmbeddedFunction, exterior_value=jnp.nan):
+        """Interpolate an EmbeddedFunction to the partitioned points."""
+        ebdyc = self.ebdyc
+        out = jnp.full(self.x.size, exterior_value)
+        smoothed = ef.grid * ebdyc.grid_step_dev
+        out = out.at[self.zone1_dev].set(self.grid_plan(smoothed))
+        for plan, idx, fr in zip(self.radial_plans, self.zone2_dev,
+                                 ef.radials):
+            refl = jnp.concatenate([fr, fr[::-1]], axis=0)
+            out = out.at[idx].set(plan(refl))
+        return out
+
+
+def interpolate_to_points(ebdyc, ef: EmbeddedFunction, x, y,
+                          fix_r: bool = False):
+    """One-shot helper (reference: ebdyc.interpolate_to_points,
+    ipde/ebdy_collection.py:666-707)."""
+    p = PointPartition(ebdyc, x, y, fix_r=fix_r)
+    return p.interpolate(ef)

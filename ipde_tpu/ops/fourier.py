@@ -140,7 +140,8 @@ class FourierPlan2D:
     """2D DFT on real (nx, ny) arrays, complex output as Cx.
 
     fft2(x) = Fx @ x @ Fy^T computed with real f64 matmuls.  ``native=True``
-    uses jnp.fft (requires complex128 support, i.e. CPU backend).
+    uses jnp.fft (requires complex128 support; auto-selected on the CPU
+    backend where it is both supported and much faster to compile).
 
     The flagship use is the periodic box solve
     (reference: ipde/solvers/multi_boundary/poisson.py:30-37):
@@ -148,8 +149,10 @@ class FourierPlan2D:
     ``solve_symbol`` fuses that path.
     """
 
-    def __init__(self, nx: int, ny: int, native: bool = False):
+    def __init__(self, nx: int, ny: int, native=None):
         self.nx, self.ny = nx, ny
+        if native is None:
+            native = jax.default_backend() == "cpu"
         self.native = native
         if not native:
             cx_, sx_ = _dft_mats_np(nx)

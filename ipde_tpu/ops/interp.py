@@ -142,7 +142,7 @@ class PeriodicInterpolator2D:
 
     def __init__(self, nx: int, ny: int, tx, ty, sigma: int = 2, w: int = 16,
                  x_offset: float = 0.0, y_offset: float = 0.0,
-                 native_fft: bool = False):
+                 native_fft=None):
         self.plan = build_nufft_plan(nx, ny, tx, ty, sigma, w,
                                      x_offset, y_offset)
         self.fine_plan = FourierPlan2D(self.plan.nfx, self.plan.nfy,

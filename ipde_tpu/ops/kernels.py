@@ -81,11 +81,11 @@ def mh_slp_apply(sx, sy, weighted_charge, tx, ty, k: float):
 # ---------------------------------------------------------------------------
 
 def _i0_series(z):
-    """I0 via its power series (z <= 12; 30 terms reach ~1e-16 there)."""
+    """I0 via its power series (used for z <= 2; 12 terms reach ~1e-16)."""
     q = 0.25 * z * z
     term = jnp.ones_like(z)
     acc = jnp.ones_like(z)
-    for m in range(1, 31):
+    for m in range(1, 13):
         term = term * q / (m * m)
         acc = acc + term
     return acc
@@ -98,7 +98,7 @@ def _k0_small(z):
     term = jnp.ones_like(z)
     acc = jnp.zeros_like(z)
     H = 0.0
-    for m in range(1, 31):
+    for m in range(1, 13):
         term = term * q / (m * m)
         H = H + 1.0 / m
         acc = acc + term * H
@@ -107,21 +107,21 @@ def _k0_small(z):
 
 
 def _k0_large(z):
-    """Asymptotic: K0(z) = sqrt(pi/(2z)) e^{-z} sum a_m / z^m  (z >= 9)."""
-    zs = jnp.maximum(z, 9.0)
+    """Asymptotic: K0(z) = sqrt(pi/(2z)) e^{-z} sum a_m / z^m  (z >= 12;
+    truncation error ~ e^{-2z} relative, far below the kernel's own size)."""
+    zs = jnp.maximum(z, 12.0)
     u = 1.0 / (8.0 * zs)
-    # a_m = prod((2j-1)^2) * (-1)^m / m! scaled: standard expansion
     s = jnp.ones_like(zs)
     term = jnp.ones_like(zs)
-    for m in range(1, 18):
+    for m in range(1, 12):
         term = term * (-(2 * m - 1) ** 2) * u / m
         s = s + term
     return jnp.sqrt(jnp.pi / (2.0 * zs)) * jnp.exp(-zs) * s
 
 
 @functools.lru_cache(maxsize=4)
-def _cheb_fit_scaled(which: str, lo: float = 2.0, hi: float = 20.0,
-                     deg: int = 48):
+def _cheb_fit_scaled(which: str, lo: float = 2.0, hi: float = 12.0,
+                     deg: int = 28):
     """Host-side Chebyshev fit of K_nu(z) e^z sqrt(z) on [lo, hi] (smooth,
     cancellation-free); coefficients feed a device Clenshaw evaluation."""
     from scipy.special import k0 as _sk0, k1 as _sk1
@@ -152,10 +152,10 @@ def _cheb_mid(z, which: str):
 def bessel_k0(z):
     z = jnp.asarray(z)
     small = z < 2.0
-    large = z > 20.0
+    large = z > 12.0
     zs = jnp.where(small, z, 0.0)
-    zm = jnp.clip(z, 2.0, 20.0)
-    zl = jnp.where(large, z, 25.0)
+    zm = jnp.clip(z, 2.0, 12.0)
+    zl = jnp.where(large, z, 15.0)
     return jnp.where(small, _k0_small(zs),
                      jnp.where(large, _k0_large(zl), _cheb_mid(zm, "k0")))
 
@@ -169,7 +169,7 @@ def _k1_small(z):
     # I1(z) = (z/2) sum q^m / (m! (m+1)!)
     term = jnp.ones_like(z)
     i1_acc = jnp.ones_like(z)
-    for m in range(1, 31):
+    for m in range(1, 13):
         term = term * q / (m * (m + 1))
         i1_acc = i1_acc + term
     i1 = 0.5 * z * i1_acc
@@ -177,7 +177,7 @@ def _k1_small(z):
     term = jnp.ones_like(z)
     Hm, Hm1 = 0.0, 1.0
     acc = (Hm + Hm1) * term
-    for m in range(1, 31):
+    for m in range(1, 13):
         term = term * q / (m * (m + 1))
         Hm = Hm + 1.0 / m
         Hm1 = Hm1 + 1.0 / (m + 1)
@@ -187,12 +187,12 @@ def _k1_small(z):
 
 
 def _k1_large(z):
-    zs = jnp.maximum(z, 9.0)
+    zs = jnp.maximum(z, 12.0)
     u = 1.0 / (8.0 * zs)
     mu = 4.0  # nu^2 * 4 = 4 for K1
     s = jnp.ones_like(zs)
     term = jnp.ones_like(zs)
-    for m in range(1, 18):
+    for m in range(1, 12):
         term = term * (mu - (2 * m - 1) ** 2) * u / m
         s = s + term
     return jnp.sqrt(jnp.pi / (2.0 * zs)) * jnp.exp(-zs) * s
@@ -201,9 +201,9 @@ def _k1_large(z):
 def bessel_k1(z):
     z = jnp.asarray(z)
     small = z < 2.0
-    large = z > 20.0
+    large = z > 12.0
     zs = jnp.where(small, z, 0.0)
-    zm = jnp.clip(z, 2.0, 20.0)
-    zl = jnp.where(large, z, 25.0)
+    zm = jnp.clip(z, 2.0, 12.0)
+    zl = jnp.where(large, z, 15.0)
     return jnp.where(small, _k1_small(zs),
                      jnp.where(large, _k1_large(zl), _cheb_mid(zm, "k1")))

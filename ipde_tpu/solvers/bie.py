@@ -41,11 +41,13 @@ class DirichletBIE:
             for j, ej in enumerate(ebdyc):
                 blk = self._dlp_block(ei, ej)
                 A[offs[i]:offs[i + 1], offs[j]:offs[j + 1]] = blk
-        # rank completion for exterior (inclusion) boundaries whose DLP
-        # cannot represent the constant/log mode: add ones(tau) coupling
-        for j, ej in enumerate(ebdyc):
-            if not ej.interior:
-                A[:, offs[j]:offs[j + 1]] += ej.bdy.weights[None, :]
+        # rank completion for exterior (inclusion) boundaries whose LAPLACE
+        # DLP cannot represent the constant/log mode (the Yukawa DLP is
+        # complete for exterior problems -- no completion there)
+        if not isinstance(solver, ModifiedHelmholtzSolver):
+            for j, ej in enumerate(ebdyc):
+                if not ej.interior:
+                    A[:, offs[j]:offs[j + 1]] += ej.bdy.weights[None, :]
         self.Ainv = jnp.asarray(np.linalg.inv(A))
         self.offs = offs
         # per-boundary QFS of the DLP, matched from the physical side,
