@@ -69,16 +69,24 @@ class SemiLagrangianAdvector:
         vbs = [np.asarray(e.interpolate_radial_to_boundary(np.asarray(fr)))
                for e, fr in zip(ebdyc, self.v.radials)]
         new_ebdys = []
+        self.reparmed_ubs = []
+        self.reparmed_vbs = []
         for e, ub, vb in zip(ebdyc, ubs, vbs):
             if fixed_boundary:
                 new_ebdys.append(e)
+                self.reparmed_ubs.append(ub)
+                self.reparmed_vbs.append(vb)
                 continue
             if boundary_motion is not None:
                 bx, by = boundary_motion(e.bdy.x, e.bdy.y, dt)
             else:
                 bx = e.bdy.x + dt * ub
                 by = e.bdy.y + dt * vb
-            crv = arc_length_parameterize(bx, by)
+            crv, new_t = arc_length_parameterize(bx, by, return_t=True)
+            # velocity samples at the new parametrization (used by the
+            # second-order advector's AB2 boundary update)
+            self.reparmed_ubs.append(_trig_interp(ub, new_t))
+            self.reparmed_vbs.append(_trig_interp(vb, new_t))
             new_ebdys.append(e.regenerate(crv.x, crv.y))
         new_ebdyc = EmbeddedBoundaryCollection(new_ebdys)
         umax = float(np.sqrt(np.asarray(abs(self.u * self.u
@@ -182,3 +190,234 @@ class SemiLagrangianAdvector:
 
 # reference-compatible alias
 FE_Advector = SemiLagrangianAdvector
+
+
+class SecondOrderAdvector:
+    """Second-order (BDF2/AB2) semi-Lagrangian advector.
+
+    Reference: ipde/advection/second_order_advector.py:9-357.  Uses two time
+    levels: the boundary moves with AB2; departure points (x_d at t_n, x_D at
+    t_{n-1}) solve the linearized two-level characteristic system in zones
+    1-2 and a coupled 4x4 Newton on boundary coordinates (with second-order
+    velocity Taylor models) for newly uncovered points.
+
+    __call__(f, fo) returns interp(f at x_d) + interp(fo at x_D): pass the
+    BDF2-weighted fields (4/3 f^n, -1/3 f^{n-1}) or use advect_bdf2.
+    """
+
+    def __init__(self, ebdyc, u, v, old_advector, filter_fraction=0.9):
+        self.ebdyc = ebdyc
+        self.u = u
+        self.v = v
+        self.ebdyc_old = old_advector.ebdyc
+        self.uo = old_advector.u
+        self.vo = old_advector.v
+        self.ubos = list(old_advector.reparmed_ubs)
+        self.vbos = list(old_advector.reparmed_vbs)
+        self.ux, self.uy = ebdyc.gradient(u)
+        self.vx, self.vy = ebdyc.gradient(v)
+        self.uxo, self.uyo = old_advector.ux, old_advector.uy
+        self.vxo, self.vyo = old_advector.vx, old_advector.vy
+        self.filter_fraction = filter_fraction
+        self.new_ebdyc = None
+
+    def generate(self, dt: float, fixed_grid: bool = False):
+        ebdyc = self.ebdyc
+        ebdyc_old = self.ebdyc_old
+        ubs = [np.asarray(e.interpolate_radial_to_boundary(np.asarray(fr)))
+               for e, fr in zip(ebdyc, self.u.radials)]
+        vbs = [np.asarray(e.interpolate_radial_to_boundary(np.asarray(fr)))
+               for e, fr in zip(ebdyc, self.v.radials)]
+        new_ebdys = []
+        self.reparmed_ubs = []
+        self.reparmed_vbs = []
+        for e, ub, vb, ubo, vbo in zip(ebdyc, ubs, vbs, self.ubos, self.vbos):
+            bx = e.bdy.x + 0.5 * dt * (3 * ub - ubo)
+            by = e.bdy.y + 0.5 * dt * (3 * vb - vbo)
+            crv, new_t = arc_length_parameterize(bx, by, return_t=True)
+            self.reparmed_ubs.append(_trig_interp(ub, new_t))
+            self.reparmed_vbs.append(_trig_interp(vb, new_t))
+            new_ebdys.append(e.regenerate(crv.x, crv.y))
+        new_ebdyc = EmbeddedBoundaryCollection(new_ebdys)
+        umax = float(np.sqrt(np.asarray(abs(self.u * self.u
+                                            + self.v * self.v).max())))
+        ddd = 2.0 * umax * dt
+        if ddd > new_ebdyc.ebdys[0].radial_width:
+            raise ValueError("timestep oversteps the annulus safety zone")
+        if fixed_grid:
+            new_ebdyc.register_grid(ebdyc.grid, danger_zone_distance=ddd)
+        else:
+            new_ebdyc.generate_grid(h=ebdyc.ebdys[0].h,
+                                    danger_zone_distance=ddd)
+        px = np.concatenate([new_ebdyc.pna_x]
+                            + [e.radial_x.ravel() for e in new_ebdyc])
+        py = np.concatenate([new_ebdyc.pna_y]
+                            + [e.radial_y.ravel() for e in new_ebdyc])
+        part = PointPartition(ebdyc, px, py)
+        part_o = PointPartition(ebdyc_old, px, py)
+        itp = lambda g: np.asarray(part.interpolate(g))
+        itpo = lambda g: np.asarray(part_o.interpolate(g))
+        uh, vh = itp(self.u), itp(self.v)
+        uxh, uyh = itp(self.ux), itp(self.uy)
+        vxh, vyh = itp(self.vx), itp(self.vy)
+        uoh, voh = itpo(self.uo), itpo(self.vo)
+        uxoh, uyoh = itpo(self.uxo), itpo(self.uyo)
+        vxoh, vyoh = itpo(self.vxo), itpo(self.vyo)
+        sel = part.zone1_or_2 & part_o.zone1_or_2
+        ns = int(sel.sum())
+        # two-level characteristic system (reference:
+        # second_order_advector.py:139-170): unknowns (dx, dy, Dx, Dy)
+        SLM = np.zeros((ns, 4, 4))
+        SLR = np.zeros((ns, 4))
+        SLM[:, 0, 0] = uxh[sel]
+        SLM[:, 0, 1] = uyh[sel]
+        SLM[:, 0, 2] = 0.5 / dt
+        SLM[:, 1, 0] = vxh[sel]
+        SLM[:, 1, 1] = vyh[sel]
+        SLM[:, 1, 3] = 0.5 / dt
+        SLM[:, 2, 0] = 2.0 / dt + 3 * uxh[sel]
+        SLM[:, 2, 1] = 3 * uyh[sel]
+        SLM[:, 2, 2] = -uxoh[sel]
+        SLM[:, 2, 3] = -uyoh[sel]
+        SLM[:, 3, 0] = 3 * vxh[sel]
+        SLM[:, 3, 1] = 2.0 / dt + 3 * vyh[sel]
+        SLM[:, 3, 2] = -vxoh[sel]
+        SLM[:, 3, 3] = -vyoh[sel]
+        SLR[:, 0] = uh[sel]
+        SLR[:, 1] = vh[sel]
+        SLR[:, 2] = 3 * uh[sel] - uoh[sel]
+        SLR[:, 3] = 3 * vh[sel] - voh[sel]
+        OUT = np.linalg.solve(SLM, SLR[..., None])[..., 0]
+        xd = px.copy(); yd = py.copy()
+        xD = px.copy(); yD = py.copy()
+        xd[sel] = px[sel] - OUT[:, 0]
+        yd[sel] = py[sel] - OUT[:, 1]
+        xD[sel] = px[sel] - OUT[:, 2]
+        yD[sel] = py[sel] - OUT[:, 3]
+        # zone 3: coupled Newton with 2nd-order boundary Taylor models
+        fc3 = np.flatnonzero(~sel)
+        if fc3.size:
+            for ind, (e, eo) in enumerate(zip(ebdyc, ebdyc_old)):
+                ur = np.asarray(self.u.radials[ind])
+                vr = np.asarray(self.v.radials[ind])
+                uro = np.asarray(self.uo.radials[ind])
+                vro = np.asarray(self.vo.radials[ind])
+                dn = e.interp_dn_to_bdy
+                dn2 = e.interp_dn2_to_bdy
+                dno = eo.interp_dn_to_bdy
+                dn2o = eo.interp_dn2_to_bdy
+                fields = dict(
+                    bx=e.bdy.x, by=e.bdy.y, nx=e.bdy.normal_x,
+                    ny=e.bdy.normal_y, ub=ubs[ind], vb=vbs[ind],
+                    urb=dn @ ur, vrb=dn @ vr, urrb=dn2 @ ur, vrrb=dn2 @ vr)
+                of = dict(
+                    bx=eo.bdy.x, by=eo.bdy.y, nx=eo.bdy.normal_x,
+                    ny=eo.bdy.normal_y,
+                    ub=np.asarray(eo.interpolate_radial_to_boundary(uro)),
+                    vb=np.asarray(eo.interpolate_radial_to_boundary(vro)),
+                    urb=dno @ uro, vrb=dno @ vro,
+                    urrb=dn2o @ uro, vrrb=dn2o @ vro)
+                ders = {k: _trig_deriv(w) for k, w in fields.items()}
+                dero = {k: _trig_deriv(w) for k, w in of.items()}
+                xo_, yo_ = px[fc3], py[fc3]
+                s = part.full_t[ind][fc3].copy()
+                r = part.full_r[ind][fc3].copy()
+                so = part_o.full_t[ind][fc3].copy()
+                ro = part_o.full_r[ind][fc3].copy()
+                for _ in range(60):
+                    F = {k: _trig_interp(w, s) for k, w in fields.items()}
+                    O = {k: _trig_interp(w, so) for k, w in of.items()}
+                    Dd = {k: _trig_interp(w, s) for k, w in ders.items()}
+                    Do = {k: _trig_interp(w, so) for k, w in dero.items()}
+                    tay_u = F["ub"] + r * F["urb"] + 0.5 * r**2 * F["urrb"]
+                    tay_v = F["vb"] + r * F["vrb"] + 0.5 * r**2 * F["vrrb"]
+                    otay_u = O["ub"] + ro * O["urb"] + 0.5 * ro**2 * O["urrb"]
+                    otay_v = O["vb"] + ro * O["vrb"] + 0.5 * ro**2 * O["vrrb"]
+                    f0_ = O["bx"] + ro * O["nx"] + 2 * dt * tay_u - xo_
+                    f1_ = O["by"] + ro * O["ny"] + 2 * dt * tay_v - yo_
+                    f2_ = (F["bx"] + r * F["nx"] + 1.5 * dt * tay_u
+                           - 0.5 * dt * otay_u - xo_)
+                    f3_ = (F["by"] + r * F["ny"] + 1.5 * dt * tay_v
+                           - 0.5 * dt * otay_v - yo_)
+                    res = max(np.abs(f0_).max(), np.abs(f1_).max(),
+                              np.abs(f2_).max(), np.abs(f3_).max()) \
+                        if f0_.size else 0.0
+                    if res < 1e-12:
+                        break
+                    tay_us = (Dd["ub"] + r * Dd["urb"]
+                              + 0.5 * r**2 * Dd["urrb"])
+                    tay_vs = (Dd["vb"] + r * Dd["vrb"]
+                              + 0.5 * r**2 * Dd["vrrb"])
+                    otay_us = (Do["ub"] + ro * Do["urb"]
+                               + 0.5 * ro**2 * Do["urrb"])
+                    otay_vs = (Do["vb"] + ro * Do["vrb"]
+                               + 0.5 * ro**2 * Do["vrrb"])
+                    tay_ur = F["urb"] + r * F["urrb"]
+                    tay_vr = F["vrb"] + r * F["vrrb"]
+                    otay_ur = O["urb"] + ro * O["urrb"]
+                    otay_vr = O["vrb"] + ro * O["vrrb"]
+                    J = np.zeros((s.size, 4, 4))
+                    J[:, 0, 0] = 2 * dt * tay_us
+                    J[:, 1, 0] = 2 * dt * tay_vs
+                    J[:, 2, 0] = (Dd["bx"] + r * Dd["nx"] + 1.5 * dt * tay_us)
+                    J[:, 3, 0] = (Dd["by"] + r * Dd["ny"] + 1.5 * dt * tay_vs)
+                    J[:, 0, 1] = 2 * dt * tay_ur
+                    J[:, 1, 1] = 2 * dt * tay_vr
+                    J[:, 2, 1] = F["nx"] + 1.5 * dt * tay_ur
+                    J[:, 3, 1] = F["ny"] + 1.5 * dt * tay_vr
+                    J[:, 0, 2] = Do["bx"] + ro * Do["nx"]
+                    J[:, 1, 2] = Do["by"] + ro * Do["ny"]
+                    J[:, 2, 2] = -0.5 * dt * otay_us
+                    J[:, 3, 2] = -0.5 * dt * otay_vs
+                    J[:, 0, 3] = O["nx"]
+                    J[:, 1, 3] = O["ny"]
+                    J[:, 2, 3] = -0.5 * dt * otay_ur
+                    J[:, 3, 3] = -0.5 * dt * otay_vr
+                    upd = np.linalg.solve(
+                        J, np.stack([f0_, f1_, f2_, f3_], axis=1)[..., None]
+                    )[..., 0]
+                    s -= upd[:, 0]
+                    r -= upd[:, 1]
+                    so -= upd[:, 2]
+                    ro -= upd[:, 3]
+                # clamp coordinates that left the physical side
+                # (reference 'fail' handling: second_order_advector.py:295-315)
+                lo, hi = (-e.radial_width, 0.0) if e.interior \
+                    else (0.0, e.radial_width)
+                r = np.clip(r, lo, hi)
+                ro = np.clip(ro, lo, hi)
+                F = {k: _trig_interp(w, s) for k, w in fields.items()}
+                O = {k: _trig_interp(w, so) for k, w in of.items()}
+                xd[fc3] = F["bx"] + F["nx"] * r
+                yd[fc3] = F["by"] + F["ny"] * r
+                xD[fc3] = O["bx"] + O["nx"] * ro
+                yD[fc3] = O["by"] + O["ny"] * ro
+        self.new_ebdyc = new_ebdyc
+        self.dep_partition = PointPartition(ebdyc, xd, yd, fix_r=True)
+        self.dep_partition_old = PointPartition(ebdyc_old, xD, yD, fix_r=True)
+        return new_ebdyc
+
+    def __call__(self, f: EmbeddedFunction,
+                 fo: EmbeddedFunction) -> EmbeddedFunction:
+        import jax.numpy as jnp
+        new_ebdyc = self.new_ebdyc
+        vals = (self.dep_partition.interpolate(f, exterior_value=0.0)
+                + self.dep_partition_old.interpolate(fo, exterior_value=0.0))
+        n_pna = new_ebdyc.pna_x.size
+        grid = jnp.zeros(new_ebdyc.grid.shape)
+        grid = grid.ravel().at[jnp.asarray(new_ebdyc.pna_flat, jnp.int32)]\
+            .set(vals[:n_pna]).reshape(new_ebdyc.grid.shape)
+        radials = []
+        start = n_pna
+        for e in new_ebdyc:
+            cnt = int(np.prod(e.radial_shape))
+            radials.append(vals[start:start + cnt].reshape(e.radial_shape))
+            start += cnt
+        grid = new_ebdyc.interpolate_radial_to_grid(radials, grid)
+        grid = grid * new_ebdyc.phys_dev
+        return EmbeddedFunction(grid, radials)
+
+    def advect_bdf2(self, f_n: EmbeddedFunction,
+                    f_nm1: EmbeddedFunction) -> EmbeddedFunction:
+        """BDF2 advection step: f^{n+1} = (4/3) f^n(x_d) - (1/3) f^{n-1}(x_D)."""
+        return self((4.0 / 3.0) * f_n, (-1.0 / 3.0) * f_nm1)

@@ -88,8 +88,10 @@ class EmbeddedBoundaryCollection:
         xmax = ie.bdy.x.max() + 2 * cheat
         ymax = ie.bdy.y.max() + 2 * cheat
         self.bump_location = (ie.bdy.x.max() + cheat, ie.bdy.y.max() + cheat)
-        Nx = 2 * int(0.5 * np.ceil((xmax - xmin) / h))
-        Ny = 2 * int(0.5 * np.ceil((ymax - ymin) / h))
+        # round up to multiples of 32: MXU-aligned and richly factorable
+        # for the four-step matmul FFT (extra room just pads the cheat space)
+        Nx = int(32 * np.ceil((xmax - xmin) / h / 32))
+        Ny = int(32 * np.ceil((ymax - ymin) / h / 32))
         grid = Grid([xmin, xmin + Nx * h], Nx, [ymin, ymin + Ny * h], Ny)
         self.register_grid(grid, danger_zone_distance=danger_zone_distance)
         return grid

@@ -39,6 +39,8 @@ class PointPartition:
         in_annulus = np.zeros(n, dtype=bool)
         self.zone2 = []      # per ebdy: (indices, theta(r), t)
         self.zone3 = []      # per ebdy: (indices, t, r) of its aphysical pts
+        self.full_t = []     # per ebdy: (t, r) for every point (exact for
+        self.full_r = []     # near points, nearest-node guess otherwise)
         for e in ebdyc:
             near, guess_t = points_near_curve(e.bdy, x, y,
                                               e.radial_width * 1.05)
@@ -72,6 +74,12 @@ class PointPartition:
             z3_local = idx[~inside_phys_near]
             self.zone3.append((z3_local, t[~inside_phys_near],
                                r[~inside_phys_near]))
+            ft = guess_t.copy()
+            fr = np.zeros(n)
+            ft[idx] = t
+            fr[idx] = r
+            self.full_t.append(ft)
+            self.full_r.append(fr)
         self.phys = phys
         self.zone1 = np.flatnonzero(phys & ~in_annulus)
         self.zone1_or_2 = phys

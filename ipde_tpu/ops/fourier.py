@@ -149,40 +149,55 @@ class FourierPlan2D:
     ``solve_symbol`` fuses that path.
     """
 
+    # use the four-step (matmul Cooley-Tukey) path for axes at least this
+    # long with a nontrivial factorization
+    FOURSTEP_MIN = 256
+
     def __init__(self, nx: int, ny: int, native=None):
         self.nx, self.ny = nx, ny
         if native is None:
             native = jax.default_backend() == "cpu"
         self.native = native
         if not native:
-            cx_, sx_ = _dft_mats_np(nx)
-            cy_, sy_ = _dft_mats_np(ny)
-            self.CxM = jnp.asarray(cx_)      # (nx, nx), left multiply
-            self.SxM = jnp.asarray(sx_)
-            self.CyT = jnp.asarray(cy_.T)    # (ny, ny), right multiply
-            self.SyT = jnp.asarray(sy_.T)
+            self._tx = self._make_axis_transform(nx)
+            self._ty = self._make_axis_transform(ny)
+
+    def _make_axis_transform(self, n):
+        """Returns (fft_axis0, ifft_axis0) callables on (n, m) Cx pairs."""
+        if n >= self.FOURSTEP_MIN and _best_factor(n)[0] > 1:
+            plan = FourStepFFT1D(n)
+            return plan.fft, plan.ifft
+        c_, s_ = _dft_mats_np(n)
+        C = jnp.asarray(c_)
+        S = jnp.asarray(s_)
+
+        def fwd(c: Cx) -> Cx:
+            return Cx(_dot(C, c.re) - _dot(S, c.im),
+                      _dot(S, c.re) + _dot(C, c.im))
+
+        def inv(c: Cx) -> Cx:
+            o = fwd(Cx(c.re, -c.im))
+            return Cx(o.re / n, -o.im / n)
+
+        return fwd, inv
 
     def fft2(self, x) -> Cx:
         if self.native:
             z = jnp.fft.fft2(x)
             return Cx(jnp.real(z), jnp.imag(z))
-        # a = Fx @ x  (complex), then a @ Fy^T
-        ar = _dot(self.CxM, x)
-        ai = _dot(self.SxM, x)
-        return Cx(_dot(ar, self.CyT) - _dot(ai, self.SyT),
-                  _dot(ar, self.SyT) + _dot(ai, self.CyT))
+        c = Cx(x, jnp.zeros_like(x))
+        c = self._tx[0](c)
+        c = self._ty[0](Cx(c.re.T, c.im.T))
+        return Cx(c.re.T, c.im.T)
 
     def ifft2_real(self, c: Cx):
         """Real part of the inverse 2D DFT of c."""
         if self.native:
             z = jax.lax.complex(c.re, c.im)
             return jnp.real(jnp.fft.ifft2(z))
-        # ifft = conj(F) / n; real(ifft2(c)) for general c:
-        # b = conj(Fx) @ c; out = real(b @ conj(Fy)^T) / (nx ny)
-        br = _dot(self.CxM, c.re) + _dot(self.SxM, c.im)
-        bi = _dot(self.CxM, c.im) - _dot(self.SxM, c.re)
-        out = _dot(br, self.CyT) + _dot(bi, self.SyT)
-        return out / (self.nx * self.ny)
+        c = self._tx[1](c)
+        c = self._ty[1](Cx(c.re.T, c.im.T))
+        return c.re.T
 
     def solve_symbol(self, f, symbol):
         """ifft2(fft2(f) * symbol).real for real f and real symbol."""
@@ -219,3 +234,73 @@ class SimpleFourierFilter:
     def __call__(self, f):
         c = self.plan.rfft(f)
         return self.plan.irfft(Cx(c.re * self.filt, c.im * self.filt))
+
+
+# ---------------------------------------------------------------------------
+# four-step (matmul Cooley-Tukey) FFT for large n on TPU
+# ---------------------------------------------------------------------------
+
+def _best_factor(n: int):
+    """Factor n = n1 * n2 with n1 as close to sqrt(n) as possible."""
+    best = (1, n)
+    f = 1
+    for n1 in range(2, int(np.sqrt(n)) + 1):
+        if n % n1 == 0:
+            best = (n1, n // n1)
+    return best
+
+
+@functools.lru_cache(maxsize=64)
+def _fourstep_mats_np(n: int):
+    n1, n2 = _best_factor(n)
+    c1, s1 = _dft_mats_np(n1)
+    c2, s2 = _dft_mats_np(n2)
+    k1 = np.arange(n1)[:, None]
+    j2 = np.arange(n2)[None, :]
+    ang = -2.0 * np.pi * k1 * j2 / n
+    return n1, n2, c1, s1, c2, s2, np.cos(ang), np.sin(ang)
+
+
+class FourStepFFT1D:
+    """fft along axis 0 of a (n, m) complex pair via two matmul stages.
+
+    X[k1 + n1 k2] = sum_{j2} w_n^{j2 k1} (sum_{j1} x[j1 n2 + j2] w_{n1}^{j1 k1})
+                    w_{n2}^{j2 k2}
+    Cost ~ 8 n (n1 + n2) flops per column instead of 8 n^2.
+    """
+
+    def __init__(self, n: int):
+        n1, n2, c1, s1, c2, s2, twc, tws = _fourstep_mats_np(n)
+        self.n, self.n1, self.n2 = n, n1, n2
+        self.C1, self.S1 = jnp.asarray(c1), jnp.asarray(s1)
+        # stage-2 right-multiplies: B[k1, k2] = sum_j2 A[k1, j2] F2[k2, j2]
+        self.C2T, self.S2T = jnp.asarray(c2.T), jnp.asarray(s2.T)
+        self.TWC, self.TWS = jnp.asarray(twc), jnp.asarray(tws)
+
+    def fft(self, c: Cx) -> Cx:
+        """c: (n, m) complex pair -> (n, m) DFT along axis 0."""
+        n1, n2 = self.n1, self.n2
+        m = c.re.shape[1]
+        xr = c.re.reshape(n1, n2 * m)
+        xi = c.im.reshape(n1, n2 * m)
+        ar = (_dot(self.C1, xr) - _dot(self.S1, xi)).reshape(n1, n2, m)
+        ai = (_dot(self.S1, xr) + _dot(self.C1, xi)).reshape(n1, n2, m)
+        # twiddle (n1, n2) broadcast over m
+        tr = self.TWC[:, :, None]
+        ti = self.TWS[:, :, None]
+        br = ar * tr - ai * ti
+        bi = ar * ti + ai * tr
+        # stage 2 along j2: result (n1, n2->k2, m)
+        br2 = jnp.einsum("ajm,cj->acm", br, self.C2T.T, precision=_HIGH) \
+            - jnp.einsum("ajm,cj->acm", bi, self.S2T.T, precision=_HIGH)
+        bi2 = jnp.einsum("ajm,cj->acm", br, self.S2T.T, precision=_HIGH) \
+            + jnp.einsum("ajm,cj->acm", bi, self.C2T.T, precision=_HIGH)
+        # k = k1 + n1 k2 -> arrange (k2, k1, m) then flatten
+        out_r = jnp.transpose(br2, (1, 0, 2)).reshape(self.n, m)
+        out_i = jnp.transpose(bi2, (1, 0, 2)).reshape(self.n, m)
+        return Cx(out_r, out_i)
+
+    def ifft(self, c: Cx) -> Cx:
+        """Inverse: conj -> fft -> conj / n."""
+        out = self.fft(Cx(c.re, -c.im))
+        return Cx(out.re / self.n, -out.im / self.n)

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 _HIGH = jax.lax.Precision.HIGHEST
-_CHUNK = 4096
+_CHUNK = 32768
 
 
 def _chunked(eval_chunk, tx, ty, n_out: int = 1):

@@ -29,7 +29,7 @@ from ipde_tpu.geometry.curve import BoundaryCurve
 from ipde_tpu.ops.singular import log_quad_circulant
 
 _HIGH = jax.lax.Precision.HIGHEST
-_CHUNK = 4096
+_CHUNK = 32768
 
 
 def _geom(src: BoundaryCurve, tx, ty):
