@@ -21,7 +21,8 @@ from ipde_tpu.geometry.embedded_boundary import EmbeddedBoundary, load_embedded_
 from ipde_tpu.geometry.grid import Grid
 from ipde_tpu.ops.cx import Cx
 from ipde_tpu.ops.fourier import FourierPlan2D
-from ipde_tpu.ops.interp import PeriodicInterpolator2D, PolyInterpolator2D
+from ipde_tpu.ops.interp import (PeriodicInterpolator2D, PolyInterpolator2D,
+                                 make_interpolator)
 
 _HIGH = jax.lax.Precision.HIGHEST
 
@@ -163,9 +164,8 @@ class EmbeddedBoundaryCollection:
         self.ia_flat_list = []
         for e, reg in zip(self.ebdys, regs):
             theta = e.nufft_theta(reg.ia_r)
-            plan = PeriodicInterpolator2D(
-                2 * e.M, e.bdy.N, theta, reg.ia_t,
-                x_offset=np.pi / (2 * e.M))
+            plan = make_interpolator(2 * e.M, e.bdy.N, theta, reg.ia_t,
+                                     x_offset=np.pi / (2 * e.M))
             self.radial_to_grid_plans.append(plan)
             self.ia_flat_list.append(
                 jnp.asarray(reg.ia_ix * grid.Ny + reg.ia_iy, jnp.int32))

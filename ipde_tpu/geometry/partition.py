@@ -22,7 +22,7 @@ from ipde_tpu.functions import EmbeddedFunction
 from ipde_tpu.geometry.collection import EmbeddedBoundaryCollection
 from ipde_tpu.geometry.coords import (compute_local_coordinates,
                                       points_inside_curve, points_near_curve)
-from ipde_tpu.ops.interp import PeriodicInterpolator2D
+from ipde_tpu.ops.interp import PeriodicInterpolator2D, make_interpolator
 
 _HIGH = jax.lax.Precision.HIGHEST
 
@@ -91,8 +91,8 @@ class PointPartition:
         self.radial_plans = []
         for e, (z2, theta, t) in zip(ebdyc, self.zone2):
             self.radial_plans.append(
-                PeriodicInterpolator2D(2 * e.M, e.bdy.N, theta, t,
-                                       x_offset=np.pi / (2 * e.M)))
+                make_interpolator(2 * e.M, e.bdy.N, theta, t,
+                                  x_offset=np.pi / (2 * e.M)))
         self.zone1_dev = jnp.asarray(self.zone1, jnp.int32)
         self.zone2_dev = [jnp.asarray(z2, jnp.int32)
                           for z2, _, _ in self.zone2]

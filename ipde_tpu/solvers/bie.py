@@ -63,6 +63,14 @@ class DirichletBIE:
         self.phys_flat = jnp.asarray(np.flatnonzero(ebdyc.phys), jnp.int32)
         self.phys_x = jnp.asarray(ebdyc.grid.xg[ebdyc.phys])
         self.phys_y = jnp.asarray(ebdyc.grid.yg[ebdyc.phys])
+        self.phys_mask_dev = jnp.asarray(ebdyc.phys)
+        # FFT grid evaluator over the merged effective sources
+        self.grid_eval = None
+        if getattr(solver, "grid_backend", "dense") == "fft":
+            gx = np.concatenate([s_.x for s_ in self.src_list])
+            gy = np.concatenate([s_.y for s_ in self.src_list])
+            self.grid_eval = solver._make_grid_evaluator(gx, gy)
+            self.src_Ns = [s_.N for s_ in self.src_list]
 
     def _dlp_block(self, ei, ej) -> np.ndarray:
         solver = self.solver
@@ -91,19 +99,27 @@ class DirichletBIE:
         sigmas = [q([jnp.zeros_like(t), t])
                   for q, t in zip(self.qfs_list, taus)]
         # evaluate onto all physical grid points and every radial grid
-        grid_vals = jnp.zeros(self.phys_x.shape[0])
         radial_vals = [jnp.zeros(e.radial_shape) for e in self.ebdyc]
+        if self.grid_eval is not None:
+            wq = jnp.concatenate([sig * jnp.asarray(src.weights)
+                                  for src, sig in zip(self.src_list, sigmas)])
+            phi = self.grid_eval(wq)
+            new_grid = ue.grid + jnp.where(self.phys_mask_dev, phi, 0.0)
+        else:
+            grid_vals = jnp.zeros(self.phys_x.shape[0])
+            for src, sig in zip(self.src_list, sigmas):
+                grid_vals = grid_vals + solver._apply(src, sig, self.phys_x,
+                                                      self.phys_y)
+            new_grid = ue.grid.ravel().at[self.phys_flat].add(grid_vals)\
+                .reshape(ue.grid.shape)
         for src, sig in zip(self.src_list, sigmas):
-            grid_vals = grid_vals + solver._apply(src, sig, self.phys_x,
-                                                  self.phys_y)
             for i, e in enumerate(self.ebdyc):
                 v = solver._apply(src, sig,
                                   jnp.asarray(e.radial_x.ravel()),
                                   jnp.asarray(e.radial_y.ravel()))
                 radial_vals[i] = radial_vals[i] + v.reshape(e.radial_shape)
-        new_grid = ue.grid.ravel().at[self.phys_flat].add(grid_vals)
         new_radials = [r + dv for r, dv in zip(ue.radials, radial_vals)]
-        return EmbeddedFunction(new_grid.reshape(ue.grid.shape), new_radials)
+        return EmbeddedFunction(new_grid, new_radials)
 
 
 def solve_dirichlet(solver: ScalarSolver, f: EmbeddedFunction,
@@ -276,6 +292,12 @@ class NeumannBIE:
         self.phys_flat = jnp.asarray(np.flatnonzero(ebdyc.phys), jnp.int32)
         self.phys_x = jnp.asarray(ebdyc.grid.xg[ebdyc.phys])
         self.phys_y = jnp.asarray(ebdyc.grid.yg[ebdyc.phys])
+        self.phys_mask_dev = jnp.asarray(ebdyc.phys)
+        self.grid_eval = None
+        if getattr(solver, "grid_backend", "dense") == "fft":
+            gx = np.concatenate([s_.x for s_ in self.src_list])
+            gy = np.concatenate([s_.y for s_ in self.src_list])
+            self.grid_eval = solver._make_grid_evaluator(gx, gy)
 
     def apply_bc(self, ue: EmbeddedFunction,
                  bc_n: BoundaryFunction) -> EmbeddedFunction:
@@ -288,16 +310,24 @@ class NeumannBIE:
         sigs = [sig[self.offs[i]:self.offs[i + 1]]
                 for i in range(len(self.ebdyc.ebdys))]
         xis = [q([s]) for q, s in zip(self.qfs_list, sigs)]
-        grid_vals = jnp.zeros(self.phys_x.shape[0])
         radial_vals = [jnp.zeros(e.radial_shape) for e in self.ebdyc]
+        if self.grid_eval is not None:
+            wq = jnp.concatenate([xi * jnp.asarray(src.weights)
+                                  for src, xi in zip(self.src_list, xis)])
+            phi = self.grid_eval(wq)
+            new_grid = ue.grid + jnp.where(self.phys_mask_dev, phi, 0.0)
+        else:
+            grid_vals = jnp.zeros(self.phys_x.shape[0])
+            for src, xi in zip(self.src_list, xis):
+                grid_vals = grid_vals + solver._apply(src, xi, self.phys_x,
+                                                      self.phys_y)
+            new_grid = ue.grid.ravel().at[self.phys_flat].add(grid_vals)\
+                .reshape(ue.grid.shape)
         for src, xi in zip(self.src_list, xis):
-            grid_vals = grid_vals + solver._apply(src, xi, self.phys_x,
-                                                  self.phys_y)
             for i, e in enumerate(self.ebdyc):
                 v = solver._apply(src, xi,
                                   jnp.asarray(e.radial_x.ravel()),
                                   jnp.asarray(e.radial_y.ravel()))
                 radial_vals[i] = radial_vals[i] + v.reshape(e.radial_shape)
-        new_grid = ue.grid.ravel().at[self.phys_flat].add(grid_vals)
         new_radials = [r + dv for r, dv in zip(ue.radials, radial_vals)]
-        return EmbeddedFunction(new_grid.reshape(ue.grid.shape), new_radials)
+        return EmbeddedFunction(new_grid, new_radials)

@@ -105,13 +105,21 @@ class _ScalarHelper:
 
 
 class ScalarSolver:
-    """Shared orchestration; subclasses bind the PDE (symbol, kernel, QFS)."""
+    """Shared orchestration; subclasses bind the PDE (symbol, kernel, QFS).
+
+    grid_backend: 'fft' evaluates the sigma_g layer potential on the grid
+    with the free-space FFT evaluator (O(N^2 log N), the FMM replacement);
+    'dense' uses the direct chunked kernel sum (ground truth / small grids).
+    Reference analogue: grid_backend selection in
+    ipde/solvers/multi_boundary/poisson.py:39-64.
+    """
 
     def __init__(self, ebdyc: EmbeddedBoundaryCollection,
-                 helpers: Optional[List] = None):
+                 helpers: Optional[List] = None, grid_backend: str = "fft"):
         self.ebdyc = ebdyc
         if ebdyc.grid is None:
             raise ValueError("collection has no registered grid")
+        self.grid_backend = grid_backend
         self.helpers = [ _ScalarHelper(self, e) for e in ebdyc ]
         # merged grid sources
         gx = np.concatenate([h.grid_source.x for h in self.helpers])
@@ -121,7 +129,13 @@ class ScalarSolver:
         self.grid_src_y = jnp.asarray(gy)
         self.grid_src_w = jnp.asarray(gw)
         self._symbol = jnp.asarray(self._grid_symbol())
+        self.pna_mask_dev = jnp.asarray(ebdyc.phys_not_in_annulus)
+        if grid_backend == "fft":
+            self.grid_eval = self._make_grid_evaluator(gx, gy)
         self.iteration_counts = []
+
+    def _make_grid_evaluator(self, gx, gy):
+        raise NotImplementedError
 
     # -- PDE bindings (overridden) -----------------------------------------
     def _make_annular_solver(self, geom):
@@ -178,17 +192,22 @@ class ScalarSolver:
             print("annular iterations:", self.iteration_counts)
         # global layer evaluation onto pna + interfaces
         sigma_g = jnp.concatenate(sig_gs)
-        tx = jnp.concatenate([jnp.asarray(ebdyc.pna_x),
-                              jnp.asarray(ebdyc.all_interface_x)])
-        ty = jnp.concatenate([jnp.asarray(ebdyc.pna_y),
-                              jnp.asarray(ebdyc.all_interface_y)])
-        out = self._apply_merged(sigma_g, tx, ty)
-        n_pna = ebdyc.pna_x.size
-        gu = out[:n_pna]
-        bus = ebdyc.v2l(out[n_pna:])
-        # add grid-side correction on pna points
-        uc = uc.ravel().at[jnp.asarray(ebdyc.pna_flat, jnp.int32)].add(gu)
-        uc = uc.reshape(ebdyc.grid.shape)
+        if self.grid_backend == "fft":
+            phi = self.grid_eval(sigma_g * self.grid_src_w)
+            uc = uc + jnp.where(self.pna_mask_dev, phi, 0.0)
+            bus = ebdyc.v2l(self._apply_merged(
+                sigma_g, jnp.asarray(ebdyc.all_interface_x),
+                jnp.asarray(ebdyc.all_interface_y)))
+        else:
+            tx = jnp.concatenate([jnp.asarray(ebdyc.pna_x),
+                                  jnp.asarray(ebdyc.all_interface_x)])
+            ty = jnp.concatenate([jnp.asarray(ebdyc.pna_y),
+                                  jnp.asarray(ebdyc.all_interface_y)])
+            out = self._apply_merged(sigma_g, tx, ty)
+            n_pna = ebdyc.pna_x.size
+            uc = uc.ravel().at[jnp.asarray(ebdyc.pna_flat, jnp.int32)]\
+                .add(out[:n_pna]).reshape(ebdyc.grid.shape)
+            bus = ebdyc.v2l(out[n_pna:])
         # per-boundary radial corrections
         urs = [h.correct(self, ur, sg, sr, bu)
                for h, ur, sg, sr, bu in
@@ -220,6 +239,11 @@ class PoissonSolver(ScalarSolver):
         if ebdyc.bumpy is None:
             ebdyc.ready_bump()
         super().__init__(ebdyc, **kw)
+
+    def _make_grid_evaluator(self, gx, gy):
+        from ipde_tpu.ops.grid_eval import FreespaceGridEvaluator
+        return FreespaceGridEvaluator(self.ebdyc.grid, gx, gy,
+                                      kernel="laplace")
 
     def _make_annular_solver(self, geom):
         return AnnularPoissonSolver(geom)
@@ -261,6 +285,11 @@ class ModifiedHelmholtzSolver(ScalarSolver):
     def __init__(self, ebdyc, k: float, **kw):
         self.k = float(k)
         super().__init__(ebdyc, **kw)
+
+    def _make_grid_evaluator(self, gx, gy):
+        from ipde_tpu.ops.grid_eval import FreespaceGridEvaluator
+        return FreespaceGridEvaluator(self.ebdyc.grid, gx, gy,
+                                      kernel="yukawa", kappa=self.k)
 
     def _make_annular_solver(self, geom):
         return AnnularModifiedHelmholtzSolver(geom, k=self.k)

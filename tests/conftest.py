@@ -11,3 +11,6 @@ os.environ.setdefault(
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# belt and suspenders: the axon sitecustomize can re-register the TPU
+# backend after env processing; the config knob wins over everything
+jax.config.update("jax_platforms", "cpu")
