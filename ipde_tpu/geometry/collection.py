@@ -155,7 +155,7 @@ class EmbeddedBoundaryCollection:
         self.all_interface_x = ifx
         self.all_interface_y = ify
         tx, ty = transf(ifx, ify)
-        self.interface_interp = PeriodicInterpolator2D(grid.Nx, grid.Ny, tx, ty)
+        self.interface_interp = make_interpolator(grid.Nx, grid.Ny, tx, ty)
         self.bdy_Ns = [e.bdy.N for e in self.ebdys]
         self.splits = np.cumsum(self.bdy_Ns)[:-1].tolist()
 

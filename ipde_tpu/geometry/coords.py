@@ -145,7 +145,18 @@ def grid_points_near_curve(bdy: BoundaryCurve, xv: np.ndarray, yv: np.ndarray,
     Returns (ix, iy, t, r): integer indices into (xv, yv) and local coords.
     Reference analogue: near_finder.gridpoints_near_curve
     (used at ipde/embedded_boundary.py:202-206).
+
+    Uses the native C++ kernel (ipde_tpu/native, ~100x faster) when
+    available; the numpy path below is the always-working fallback.
     """
+    try:
+        from ipde_tpu.native import grid_near_coords_native
+        out = grid_near_coords_native(bdy, np.asarray(xv), np.asarray(yv),
+                                      dist, newton_tol)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     # candidate gridpoints: those whose cell rectangle intersects the curve's
     # inflated bounding box per curve segment
     ups = bdy.resampled(max(4 * bdy.N, 512))

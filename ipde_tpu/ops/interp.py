@@ -296,9 +296,17 @@ class ExactInterp2D:
 
 
 def make_interpolator(nx: int, ny: int, tx, ty, x_offset: float = 0.0,
-                      y_offset: float = 0.0, exact_max_modes: int = 65536):
-    """Exact matmul evaluation for small mode grids, window NUFFT otherwise."""
-    if nx * ny <= exact_max_modes:
+                      y_offset: float = 0.0, exact_max_modes: int = 65536,
+                      exact_max_targets: int = 8192):
+    """Pick the cheaper evaluation: exact factorized trig matmuls when the
+    mode grid is small (radial grids) OR the target count is small relative
+    to the mode grid (boundary/interface points vs the full box); the
+    window NUFFT (upsampled FFT + gather) otherwise."""
+    T = np.asarray(tx).size
+    exact_flops = T * nx * ny
+    nufft_flops = 40 * (2 * nx) * (2 * ny) * (np.log2(max(nx * ny, 2)))
+    if (nx * ny <= exact_max_modes
+            or (T <= exact_max_targets and exact_flops < nufft_flops)):
         return ExactInterp2D(nx, ny, tx, ty, x_offset, y_offset)
     return PeriodicInterpolator2D(nx, ny, tx, ty, x_offset=x_offset,
                                   y_offset=y_offset)
