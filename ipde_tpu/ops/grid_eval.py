@@ -112,7 +112,10 @@ class FreespaceGridEvaluator:
 
     def __init__(self, grid: Grid, src_x, src_y, kernel: str = "laplace",
                  kappa: float = 1.0, pad: int = None, w: int = 16,
-                 r_cut_h: float = 22.0):
+                 r_cut_h: float = 22.0, target_bounds=None):
+        """target_bounds: ((x0, x1), (y0, y1)) bounding box of the grid
+        points whose values are actually USED (e.g. the physical region);
+        shrinking it reduces the truncation radius and often the padding."""
         src_x = np.asarray(src_x, np.float64).ravel()
         src_y = np.asarray(src_y, np.float64).ravel()
         self.S = src_x.size
@@ -120,11 +123,11 @@ class FreespaceGridEvaluator:
         Nx, Ny = grid.Nx, grid.Ny
         hx, hy = grid.xh, grid.yh
         Lx, Ly = Nx * hx, Ny * hy
-        # maximum target-source distance (targets = any grid point)
-        corners = [(grid.x_bounds[0], grid.y_bounds[0]),
-                   (grid.x_bounds[0], grid.y_bounds[1]),
-                   (grid.x_bounds[1], grid.y_bounds[0]),
-                   (grid.x_bounds[1], grid.y_bounds[1])]
+        # maximum USED-target-to-source distance
+        if target_bounds is None:
+            target_bounds = (grid.x_bounds, grid.y_bounds)
+        (tx0, tx1), (ty0, ty1) = target_bounds
+        corners = [(tx0, ty0), (tx0, ty1), (tx1, ty0), (tx1, ty1)]
         maxdist = max(np.hypot(src_x - cx, src_y - cy).max()
                       for cx, cy in corners)
         # truncation radius must cover every pair WITH margin for the

@@ -260,25 +260,43 @@ class ExactInterp2D:
     Same interface as PeriodicInterpolator2D.
     """
 
+    # precompute phase matrices when their footprint is modest: trades
+    # ~200MB HBM for removing all f64 trig from the hot path
+    PRECOMP_MAX = 32 * 1024 * 1024  # elements per matrix
+
     def __init__(self, nx: int, ny: int, tx, ty, x_offset: float = 0.0,
                  y_offset: float = 0.0, native_fft=None):
         self.nx, self.ny = nx, ny
-        self.tx = jnp.asarray(np.asarray(tx, np.float64).ravel() - x_offset)
-        self.ty = jnp.asarray(np.asarray(ty, np.float64).ravel() - y_offset)
-        self.kx = jnp.asarray(np.fft.fftfreq(nx, 1.0 / nx))
-        self.ky = jnp.asarray(np.fft.fftfreq(ny, 1.0 / ny))
+        txa = np.asarray(tx, np.float64).ravel() - x_offset
+        tya = np.asarray(ty, np.float64).ravel() - y_offset
+        self.tx = jnp.asarray(txa)
+        self.ty = jnp.asarray(tya)
+        kxn = np.fft.fftfreq(nx, 1.0 / nx)
+        kyn = np.fft.fftfreq(ny, 1.0 / ny)
+        self.kx = jnp.asarray(kxn)
+        self.ky = jnp.asarray(kyn)
         self.base_plan = FourierPlan2D(nx, ny, native=native_fft)
         self.T = self.tx.shape[0]
+        self.precomp = (self.T * max(nx, ny)) <= self.PRECOMP_MAX
+        if self.precomp:
+            self.EYr = jnp.asarray(np.cos(np.outer(tya, kyn)))
+            self.EYi = jnp.asarray(np.sin(np.outer(tya, kyn)))
+            self.EXr = jnp.asarray(np.cos(np.outer(txa, kxn)))
+            self.EXi = jnp.asarray(np.sin(np.outer(txa, kxn)))
 
     def _one_from_modes(self, c: Cx):
-        ey_re = jnp.cos(self.ty[:, None] * self.ky[None, :])
-        ey_im = jnp.sin(self.ty[:, None] * self.ky[None, :])
+        if self.precomp:
+            ey_re, ey_im = self.EYr, self.EYi
+            ex_re, ex_im = self.EXr, self.EXi
+        else:
+            ey_re = jnp.cos(self.ty[:, None] * self.ky[None, :])
+            ey_im = jnp.sin(self.ty[:, None] * self.ky[None, :])
+            ex_re = jnp.cos(self.tx[:, None] * self.kx[None, :])
+            ex_im = jnp.sin(self.tx[:, None] * self.kx[None, :])
         g_re = (jnp.matmul(ey_re, c.re.T, precision=_HIGH)
                 - jnp.matmul(ey_im, c.im.T, precision=_HIGH))
         g_im = (jnp.matmul(ey_re, c.im.T, precision=_HIGH)
                 + jnp.matmul(ey_im, c.re.T, precision=_HIGH))
-        ex_re = jnp.cos(self.tx[:, None] * self.kx[None, :])
-        ex_im = jnp.sin(self.tx[:, None] * self.kx[None, :])
         return jnp.sum(ex_re * g_re - ex_im * g_im, axis=1) / (self.nx * self.ny)
 
     def from_modes(self, c: Cx):

@@ -175,9 +175,12 @@ def stokes_slp_apply(sx, sy, wfx, wfy, tx, ty):
         return u, v, p
 
     T = jnp.asarray(tx).shape[0]
-    nch = -(-T // _CHUNK)
-    pad = nch * _CHUNK - T
-    txc = jnp.pad(jnp.asarray(tx), (0, pad)).reshape(nch, _CHUNK)
-    tyc = jnp.pad(jnp.asarray(ty), (0, pad)).reshape(nch, _CHUNK)
+    csz = 256
+    while csz < T and csz < _CHUNK:
+        csz *= 2
+    nch = -(-T // csz)
+    pad = nch * csz - T
+    txc = jnp.pad(jnp.asarray(tx), (0, pad)).reshape(nch, csz)
+    tyc = jnp.pad(jnp.asarray(ty), (0, pad)).reshape(nch, csz)
     u, v, p = jax.lax.map(lambda ab: chunk(ab[0], ab[1]), (txc, tyc))
     return u.ravel()[:T], v.ravel()[:T], p.ravel()[:T]

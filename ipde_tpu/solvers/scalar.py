@@ -137,6 +137,13 @@ class ScalarSolver:
     def _make_grid_evaluator(self, gx, gy):
         raise NotImplementedError
 
+    def _phys_bounds(self):
+        g = self.ebdyc.grid
+        px = g.xg[self.ebdyc.phys]
+        py = g.yg[self.ebdyc.phys]
+        return ((float(px.min()), float(px.max())),
+                (float(py.min()), float(py.max())))
+
     # -- PDE bindings (overridden) -----------------------------------------
     def _make_annular_solver(self, geom):
         raise NotImplementedError
@@ -243,7 +250,8 @@ class PoissonSolver(ScalarSolver):
     def _make_grid_evaluator(self, gx, gy):
         from ipde_tpu.ops.grid_eval import FreespaceGridEvaluator
         return FreespaceGridEvaluator(self.ebdyc.grid, gx, gy,
-                                      kernel="laplace")
+                                      kernel="laplace",
+                                      target_bounds=self._phys_bounds())
 
     def _make_annular_solver(self, geom):
         return AnnularPoissonSolver(geom)
@@ -289,7 +297,8 @@ class ModifiedHelmholtzSolver(ScalarSolver):
     def _make_grid_evaluator(self, gx, gy):
         from ipde_tpu.ops.grid_eval import FreespaceGridEvaluator
         return FreespaceGridEvaluator(self.ebdyc.grid, gx, gy,
-                                      kernel="yukawa", kappa=self.k)
+                                      kernel="yukawa", kappa=self.k,
+                                      target_bounds=self._phys_bounds())
 
     def _make_annular_solver(self, geom):
         return AnnularModifiedHelmholtzSolver(geom, k=self.k)
