@@ -31,7 +31,7 @@ def force_func(x, y):
 def test_interior_mh():
     nb, M = 800, 20
     bdy = star(nb, a=0.2, f=5)
-    bh = bdy.min_h()
+    bh = min(bdy.min_h(), 0.6 / np.abs(bdy.curvature).max() / M)
     ebdy = EmbeddedBoundary(bdy, True, M, bh, qfs_tolerance=1e-14)
     ebdyc = EmbeddedBoundaryCollection([ebdy])
     ebdyc.generate_grid(bh)
@@ -43,4 +43,4 @@ def test_interior_mh():
     err = abs(ue - ua)
     re = float(np.abs(np.asarray(err.radials[0])).max())
     ge = float(np.asarray(err.grid)[np.asarray(ebdyc.phys)].max())
-    assert max(re, ge) < 5e-10, f"interior MH: err {max(re, ge):.2e}"
+    assert max(re, ge) < 1e-10, f"interior MH: err {max(re, ge):.2e}"

@@ -25,7 +25,9 @@ def force_func(x, y):
 
 def _run(nb, M):
     bdy = star(nb, a=0.2, f=5)
-    bh = bdy.min_h()
+    # keep the annulus under the curvature radius (w*kappa < 0.6): wider
+    # annuli turn the metric near-degenerate and stall the annular GMRES
+    bh = min(bdy.min_h(), 0.6 / np.abs(bdy.curvature).max() / M)
     ebdy = EmbeddedBoundary(bdy, True, M, bh, qfs_tolerance=1e-14)
     ebdyc = EmbeddedBoundaryCollection([ebdy])
     ebdyc.generate_grid(bh)
@@ -43,10 +45,11 @@ def _run(nb, M):
 
 def test_interior_poisson_coarse():
     err, iters = _run(400, 16)
-    assert err < 1e-6, f"interior Poisson nb=400: err {err:.2e}"
+    assert err < 5e-10, f"interior Poisson nb=400: err {err:.2e}"
+    assert iters < 40
 
 
 def test_interior_poisson_fine():
     err, iters = _run(800, 20)
-    assert err < 5e-10, f"interior Poisson nb=800: err {err:.2e}"
-    assert iters < 60
+    assert err < 1e-10, f"interior Poisson nb=800: err {err:.2e}"
+    assert iters < 40
