@@ -159,6 +159,16 @@ class SemiLagrangianAdvector:
                 det3 = j11 * j22 - j12 * j21
                 s = s - (j22 * f1 - j12 * f2) / det3
                 r = r - (j11 * f2 - j21 * f1) / det3
+            else:
+                if res > 1e-8:
+                    raise RuntimeError(
+                        "FE advector zone-3 Newton failed to converge "
+                        f"(boundary {ind}, residual {res:.2e}); reduce dt")
+            # clamp coordinates that left the physical side (reference
+            # 'fail' handling: second_order_advector.py:295-315)
+            lo, hi = (-e.radial_width, 0.0) if e.interior \
+                else (0.0, e.radial_width)
+            r = np.clip(r, lo, hi)
             F = {k: _trig_interp(v_, s) for k, v_ in fields.items()}
             xd[z3] = F["bx"] + F["nx"] * r
             yd[z3] = F["by"] + F["ny"] * r
@@ -294,10 +304,17 @@ class SecondOrderAdvector:
         yd[sel] = py[sel] - OUT[:, 1]
         xD[sel] = px[sel] - OUT[:, 2]
         yD[sel] = py[sel] - OUT[:, 3]
-        # zone 3: coupled Newton with 2nd-order boundary Taylor models
-        fc3 = np.flatnonzero(~sel)
-        if fc3.size:
+        # zone 3: coupled Newton with 2nd-order boundary Taylor models.
+        # Each boundary handles only ITS OWN aphysical points (the union of
+        # its zone-3 sets at the two time levels, reference
+        # second_order_advector.py fc3l = unique(concat([c3l, oc3l]))) —
+        # a global index set would let the last boundary overwrite other
+        # boundaries' departure points in multi-body runs.
+        if int((~sel).sum()):
             for ind, (e, eo) in enumerate(zip(ebdyc, ebdyc_old)):
+                fc3 = np.union1d(part.zone3[ind][0], part_o.zone3[ind][0])
+                if fc3.size == 0:
+                    continue
                 ur = np.asarray(self.u.radials[ind])
                 vr = np.asarray(self.v.radials[ind])
                 uro = np.asarray(self.uo.radials[ind])

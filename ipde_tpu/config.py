@@ -20,8 +20,6 @@ float64 throughout; see SURVEY.md section 2.
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 
 # Enable x64 before anything else in the package touches jax.
@@ -38,22 +36,3 @@ default_np_dtype = np.float64
 def backend_has_complex128() -> bool:
     """True when the active backend supports complex128 (CPU does, TPU not)."""
     return jax.default_backend() == "cpu"
-
-
-@dataclasses.dataclass(frozen=True)
-class SolverConfig:
-    """Tolerances and knobs shared by the elliptic solvers.
-
-    Mirrors the kwargs-with-defaults config surface of the reference
-    (reference: ipde/embedded_boundary.py:106-112, examples/interior_poisson.py:32-38).
-    """
-
-    coordinate_tolerance: float = 1e-14
-    qfs_tolerance: float = 1e-14
-    gmres_tol: float = 1e-14
-    gmres_maxiter: int = 100
-    gmres_restart: int = 30
-    solver_type: str = "spectral"  # 'spectral' | 'fourth'
-
-
-DEFAULT_SOLVER_CONFIG = SolverConfig()

@@ -114,9 +114,11 @@ def _resample_modes(fh: np.ndarray, n_old: int, n_new: int) -> np.ndarray:
     out[:h] = fh[:h]
     out[-h:] = fh[-h:]
     if n_new > n_old and n_old % 2 == 0:
-        # split the old Nyquist mode symmetrically
+        # split the old Nyquist mode symmetrically; the ``out[-h:]`` copy
+        # above already placed the FULL coefficient fh[h] at out[-h], so
+        # both halves must be SET (not accumulated)
         out[h] = 0.5 * fh[h]
-        out[-h] = out[-h] + 0.5 * fh[h] if n_old < n_new else out[-h]
+        out[-h] = 0.5 * fh[h]
     return out
 
 

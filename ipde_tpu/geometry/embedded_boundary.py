@@ -234,6 +234,7 @@ class EmbeddedBoundary:
             "slepian_r": self.slepian_r,
             "coordinate_tolerance": self.coordinate_tolerance,
             "qfs_tolerance": self.qfs_tolerance,
+            "qfs_source_shift": self.qfs_source_shift,
         }
 
     def regenerate(self, bx: np.ndarray, by: np.ndarray) -> "EmbeddedBoundary":
@@ -252,7 +253,8 @@ def load_embedded_boundary(d: dict) -> EmbeddedBoundary:
         BoundaryCurve(d["bx"], d["by"]), d["interior"], d["M"], d["h"],
         pad_zone=d.get("pad_zone", 0.0), slepian_r=d.get("slepian_r"),
         coordinate_tolerance=d.get("coordinate_tolerance", 1e-14),
-        qfs_tolerance=d.get("qfs_tolerance", 1e-12))
+        qfs_tolerance=d.get("qfs_tolerance", 1e-12),
+        qfs_source_shift=d.get("qfs_source_shift"))
 
 
 @dataclass

@@ -108,5 +108,9 @@ def grid_near_coords_native(bdy, xv: np.ndarray, yv: np.ndarray,
         _ptr(out_t, ctypes.c_double), _ptr(out_r, ctypes.c_double),
         _ptr(out_cv, ctypes.c_uint8), ctypes.c_int64(cap))
     n = int(n)
+    if n < 0:
+        # capacity overflow: the kernel reports -total_needed; fall back to
+        # the numpy path rather than return a silently truncated set
+        return None
     return (out_ix[:n].copy(), out_iy[:n].copy(), out_t[:n].copy(),
             out_r[:n].copy())

@@ -158,20 +158,24 @@ int64_t grid_near_coords(
         cv[q] = ok ? 1 : 0;
     }
 
-    // 3. emit within-width points
+    // 3. emit within-width points.  Keep counting past capacity so the
+    // caller can detect overflow (returns -total_needed) instead of
+    // silently receiving a truncated registration.
     int64_t count = 0;
     for (int64_t q = 0; q < m; ++q) {
-        if (std::fabs(rr[q]) <= width && count < capacity) {
-            int64_t c = cand[q];
-            out_ix[count] = (int32_t)(c / ny);
-            out_iy[count] = (int32_t)(c % ny);
-            out_t[count] = tt[q];
-            out_r[count] = rr[q];
-            out_conv[count] = cv[q];
+        if (std::fabs(rr[q]) <= width) {
+            if (count < capacity) {
+                int64_t c = cand[q];
+                out_ix[count] = (int32_t)(c / ny);
+                out_iy[count] = (int32_t)(c % ny);
+                out_t[count] = tt[q];
+                out_r[count] = rr[q];
+                out_conv[count] = cv[q];
+            }
             ++count;
         }
     }
-    return count;
+    return (count > capacity) ? -count : count;
 }
 
 }  // extern "C"
