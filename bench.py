@@ -3,11 +3,16 @@
 Prints ONE JSON line:
   {"metric": "interior_poisson_solve_ms", "value": ..., "unit": "ms",
    "vs_baseline": ...}
+plus phase breakdown keys (setup_s, compile_s, err, dof, grid).
 
 Baseline: the reference's CPU record for the inhomogeneous Poisson solve,
-891 ms at 309k dof (reference: examples/poisson_for_paper.py:128,131),
-linearly scaled to this problem's dof count.  vs_baseline > 1 means faster
-than the reference.
+891 ms at 309k dof and 3026 ms at 955k dof (reference:
+examples/poisson_for_paper.py:128,131), linearly scaled to this problem's
+dof count.  vs_baseline > 1 means faster than the reference.
+
+The jitted step receives every solver plan array as an ARGUMENT (see
+ipde_tpu/utils/planify.py), so the program has no large embedded constants
+and compiles at production grid sizes.
 """
 
 import json
@@ -30,6 +35,7 @@ def main():
     from ipde_tpu.geometry.embedded_boundary import EmbeddedBoundary
     from ipde_tpu.solvers.bie import DirichletBIE
     from ipde_tpu.solvers.scalar import PoissonSolver
+    from ipde_tpu.utils.planify import planified
 
     nb = int(os.environ.get("BENCH_NB", 400))
     M = int(os.environ.get("BENCH_M", 14))
@@ -48,13 +54,16 @@ def main():
     bc = BoundaryFunction.from_function(ebdyc, sol)
     solver = PoissonSolver(ebdyc)
     bie = DirichletBIE(solver)
-    print(f"# setup {time.time()-t0:.1f}s grid={grid.shape} "
+    setup_s = time.time() - t0
+    print(f"# setup {setup_s:.1f}s grid={grid.shape} "
           f"backend={jax.default_backend()}", file=sys.stderr)
 
     def step(f_grid, f_radial):
         ef = EmbeddedFunction(f_grid, [f_radial])
         ue = bie.apply_bc(solver(ef, tol=1e-12, maxiter=100, restart=30), bc)
         return ue.grid, ue.radials[0]
+
+    jstep = planified(step, solver, bie)
 
     # NOTE: through remote-execution tunnels block_until_ready can return
     # before the device finishes; a scalar host fetch is the only honest
@@ -64,7 +73,6 @@ def main():
         _ = float(jnp.sum(out[0]))   # forces completion
         return out
 
-    jstep = jax.jit(step)
     tiny = jax.jit(lambda x: x + 1.0)
     _ = float(tiny(jnp.asarray(0.0)))
     t0 = time.time()
@@ -74,7 +82,8 @@ def main():
     print(f"# host round-trip latency {latency*1e3:.1f} ms", file=sys.stderr)
     t0 = time.time()
     out = run_once()
-    print(f"# compile+first run {time.time()-t0:.1f}s", file=sys.stderr)
+    compile_s = time.time() - t0
+    print(f"# compile+first run {compile_s:.1f}s", file=sys.stderr)
 
     times = []
     for _ in range(3):
@@ -98,6 +107,11 @@ def main():
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(baseline_ms / ms, 3),
+        "setup_s": round(setup_s, 1),
+        "compile_s": round(compile_s, 1),
+        "err": float(f"{err:.3e}"),
+        "dof": dof,
+        "grid": list(grid.shape),
     }))
 
 

@@ -231,7 +231,14 @@ class SecondOrderAdvector:
         self.filter_fraction = filter_fraction
         self.new_ebdyc = None
 
-    def generate(self, dt: float, fixed_grid: bool = False):
+    def generate(self, dt: float, fixed_grid: bool = False,
+                 fixed_boundary: bool = False,
+                 boundary_motion: Optional[Callable] = None):
+        """Move boundaries (AB2 by default, external prescription via
+        ``boundary_motion``, or none with ``fixed_boundary``) and compute the
+        two-level departure points.  Reference variants:
+        second_order_advector.py (AB2), second_order_advector_stationary_bdy
+        .py (fixed), second_order_advector_given_bdy.py (prescribed)."""
         ebdyc = self.ebdyc
         ebdyc_old = self.ebdyc_old
         ubs = [np.asarray(e.interpolate_radial_to_boundary(np.asarray(fr)))
@@ -242,8 +249,16 @@ class SecondOrderAdvector:
         self.reparmed_ubs = []
         self.reparmed_vbs = []
         for e, ub, vb, ubo, vbo in zip(ebdyc, ubs, vbs, self.ubos, self.vbos):
-            bx = e.bdy.x + 0.5 * dt * (3 * ub - ubo)
-            by = e.bdy.y + 0.5 * dt * (3 * vb - vbo)
+            if fixed_boundary:
+                new_ebdys.append(e)
+                self.reparmed_ubs.append(ub)
+                self.reparmed_vbs.append(vb)
+                continue
+            if boundary_motion is not None:
+                bx, by = boundary_motion(e.bdy.x, e.bdy.y, dt)
+            else:
+                bx = e.bdy.x + 0.5 * dt * (3 * ub - ubo)
+                by = e.bdy.y + 0.5 * dt * (3 * vb - vbo)
             crv, new_t = arc_length_parameterize(bx, by, return_t=True)
             self.reparmed_ubs.append(_trig_interp(ub, new_t))
             self.reparmed_vbs.append(_trig_interp(vb, new_t))
@@ -254,7 +269,7 @@ class SecondOrderAdvector:
         ddd = 2.0 * umax * dt
         if ddd > new_ebdyc.ebdys[0].radial_width:
             raise ValueError("timestep oversteps the annulus safety zone")
-        if fixed_grid:
+        if fixed_grid or fixed_boundary:
             new_ebdyc.register_grid(ebdyc.grid, danger_zone_distance=ddd)
         else:
             new_ebdyc.generate_grid(h=ebdyc.ebdys[0].h,

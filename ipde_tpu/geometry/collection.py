@@ -125,6 +125,11 @@ class EmbeddedBoundaryCollection:
         self.pna_flat = np.flatnonzero(self.phys_not_in_annulus)
         self.pna_x = grid.xg[self.phys_not_in_annulus]
         self.pna_y = grid.yg[self.phys_not_in_annulus]
+        # device mirrors (plan arrays: hoisted here so jitted solves see
+        # arguments, not trace-time constants)
+        self.pna_flat_dev = jnp.asarray(self.pna_flat, jnp.int32)
+        self.pna_x_dev = jnp.asarray(self.pna_x)
+        self.pna_y_dev = jnp.asarray(self.pna_y)
 
         # smoothed step: 1 deep inside, rolls to 0 through each annulus
         gs = phys.astype(np.float64)
@@ -154,6 +159,8 @@ class EmbeddedBoundaryCollection:
         ify = np.concatenate([e.interface.y for e in self.ebdys])
         self.all_interface_x = ifx
         self.all_interface_y = ify
+        self.all_interface_x_dev = jnp.asarray(ifx)
+        self.all_interface_y_dev = jnp.asarray(ify)
         tx, ty = transf(ifx, ify)
         self.interface_interp = make_interpolator(grid.Nx, grid.Ny, tx, ty)
         self.bdy_Ns = [e.bdy.N for e in self.ebdys]
@@ -230,11 +237,23 @@ class EmbeddedBoundaryCollection:
     # ------------------------------------------------------------------
     # calculus on EmbeddedFunctions
     # ------------------------------------------------------------------
-    def gradient(self, ef: EmbeddedFunction):
+    def gradient(self, ef: EmbeddedFunction, derivative_type: str = "spectral"):
+        """Gradient: spectral (FFT) or 4th-order FD on the grid; exact
+        curvilinear derivatives on the radial grids (reference:
+        ipde/ebdy_collection.py:711-753)."""
         fc = ef.grid * self.grid_step_dev
-        c = self.fft_plan.fft2(fc)
-        fx = self.fft_plan.ifft2_real(Cx(-c.im * self.kx_dev, c.re * self.kx_dev))
-        fy = self.fft_plan.ifft2_real(Cx(-c.im * self.ky_dev, c.re * self.ky_dev))
+        if derivative_type == "spectral":
+            c = self.fft_plan.fft2(fc)
+            fx = self.fft_plan.ifft2_real(
+                Cx(-c.im * self.kx_dev, c.re * self.kx_dev))
+            fy = self.fft_plan.ifft2_real(
+                Cx(-c.im * self.ky_dev, c.re * self.ky_dev))
+        elif derivative_type == "fourth":
+            from ipde_tpu.ops.fd import fd_x_4, fd_y_4
+            fx = fd_x_4(fc, self.grid.xh)
+            fy = fd_y_4(fc, self.grid.yh)
+        else:
+            raise ValueError(derivative_type)
         fxrs, fyrs = [], []
         for e, fr in zip(self.ebdys, ef.radials):
             fxr, fyr = self._radial_gradient(e, fr)
@@ -243,6 +262,42 @@ class EmbeddedBoundaryCollection:
         fx = self.interpolate_radial_to_grid(fxrs, fx) * self.phys_dev
         fy = self.interpolate_radial_to_grid(fyrs, fy) * self.phys_dev
         return (EmbeddedFunction(fx, fxrs), EmbeddedFunction(fy, fyrs))
+
+    def laplacian(self, ef: EmbeddedFunction,
+                  derivative_type: str = "spectral") -> EmbeddedFunction:
+        """Laplacian; grid part spectral or 4th-order FD, radial part via the
+        curvilinear metric lap u = u_rr + (psi_r/psi) u_r +
+        (1/psi) d_t(u_t / psi) (reference: ipde/ebdy_collection.py:754-792,
+        embedded_boundary.py:478-517)."""
+        fc = ef.grid * self.grid_step_dev
+        if derivative_type == "spectral":
+            c = self.fft_plan.fft2(fc)
+            lap = jnp.asarray(self.lap)
+            fl = self.fft_plan.ifft2_real(Cx(c.re * lap, c.im * lap))
+        elif derivative_type == "fourth":
+            from ipde_tpu.ops.fd import fd_xx_4, fd_yy_4
+            fl = fd_xx_4(fc, self.grid.xh) + fd_yy_4(fc, self.grid.yh)
+        else:
+            raise ValueError(derivative_type)
+        flrs = [self._radial_laplacian(e, fr)
+                for e, fr in zip(self.ebdys, ef.radials)]
+        fl = self.interpolate_radial_to_grid(flrs, fl) * self.phys_dev
+        return EmbeddedFunction(fl, flrs)
+
+    def interpolate_grid_to_radial(self, f, order: int = 3):
+        """Interpolate a (smooth-everywhere!) grid function onto each radial
+        grid by periodic polynomial interpolation (reference:
+        ipde/ebdy_collection.py:630-648; useful for initialization only --
+        the grid function must be smooth across the boundaries)."""
+        from ipde_tpu.ops.interp import PolyInterpolator2D
+        g = self.grid
+        out = []
+        for e in self.ebdys:
+            interp = PolyInterpolator2D(
+                g.x_bounds[0], g.y_bounds[0], g.xh, g.yh, g.Nx, g.Ny,
+                e.radial_x.ravel(), e.radial_y.ravel(), order=order)
+            out.append(interp(jnp.asarray(f)).reshape(e.radial_shape))
+        return out
 
     def _radial_gradient(self, e: EmbeddedBoundary, fr):
         from ipde_tpu.ops.fourier import FourierPlan1D
@@ -254,6 +309,18 @@ class EmbeddedBoundaryCollection:
         tx = jnp.asarray(e.bdy.tangent_x)
         ty = jnp.asarray(e.bdy.tangent_y)
         return frr * nx + ft * tx, frr * ny + ft * ty
+
+    def _radial_laplacian(self, e: EmbeddedBoundary, fr):
+        from ipde_tpu.ops.fourier import FourierPlan1D
+        plan = FourierPlan1D(e.bdy.N)
+        D00 = jnp.asarray(e.D00)
+        psi = jnp.asarray(e.radial_speed)            # (M, n)
+        ipsi = jnp.asarray(e.inverse_radial_speed)
+        psi_r = jnp.asarray(e.bdy.speed * e.bdy.curvature)   # (n,)
+        u_r = jnp.matmul(D00, fr, precision=_HIGH)
+        u_rr = jnp.matmul(D00, u_r, precision=_HIGH)
+        u_t = plan.tderiv(fr)
+        return u_rr + psi_r * ipsi * u_r + ipsi * plan.tderiv(u_t * ipsi)
 
     def volume_integral(self, ef: EmbeddedFunction) -> float:
         val = float(jnp.sum(ef.grid * self.grid_step_dev)

@@ -54,6 +54,23 @@ class BoundaryCurve:
     def from_c(cls, c: np.ndarray) -> "BoundaryCurve":
         return cls(np.real(c), np.imag(c))
 
+    # -- device mirrors --------------------------------------------------------
+    def dev(self) -> dict:
+        """Cached jnp mirrors of the arrays device kernels consume.
+
+        Built lazily ON HOST (call during setup, never first inside a jit
+        trace: the cache must hold concrete arrays so planify can register
+        them as jit arguments instead of baked-in constants)."""
+        d = self.__dict__.get("_dev")
+        if d is None:
+            import jax.numpy as jnp
+            d = {"x": jnp.asarray(self.x), "y": jnp.asarray(self.y),
+                 "weights": jnp.asarray(self.weights),
+                 "normal_x": jnp.asarray(self.normal_x),
+                 "normal_y": jnp.asarray(self.normal_y)}
+            self._dev = d
+        return d
+
     # -- evaluation at arbitrary parameters -----------------------------------
     def eval_position(self, t: np.ndarray):
         """(x, y) at arbitrary parameter values t via the Fourier series."""

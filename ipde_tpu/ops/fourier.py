@@ -163,31 +163,19 @@ class FourierPlan2D:
             self._ty = self._make_axis_transform(ny)
 
     def _make_axis_transform(self, n):
-        """Returns (fft_axis0, ifft_axis0) callables on (n, m) Cx pairs."""
+        """Axis-0 DFT plan object (attributes hold the matrices so planify
+        can swap them; no closure-captured device arrays)."""
         if n >= self.FOURSTEP_MIN and _best_factor(n)[0] > 1:
-            plan = FourStepFFT1D(n)
-            return plan.fft, plan.ifft
-        c_, s_ = _dft_mats_np(n)
-        C = jnp.asarray(c_)
-        S = jnp.asarray(s_)
-
-        def fwd(c: Cx) -> Cx:
-            return Cx(_dot(C, c.re) - _dot(S, c.im),
-                      _dot(S, c.re) + _dot(C, c.im))
-
-        def inv(c: Cx) -> Cx:
-            o = fwd(Cx(c.re, -c.im))
-            return Cx(o.re / n, -o.im / n)
-
-        return fwd, inv
+            return FourStepFFT1D(n)
+        return DirectDFT1D(n)
 
     def fft2(self, x) -> Cx:
         if self.native:
             z = jnp.fft.fft2(x)
             return Cx(jnp.real(z), jnp.imag(z))
         c = Cx(x, jnp.zeros_like(x))
-        c = self._tx[0](c)
-        c = self._ty[0](Cx(c.re.T, c.im.T))
+        c = self._tx.fft(c)
+        c = self._ty.fft(Cx(c.re.T, c.im.T))
         return Cx(c.re.T, c.im.T)
 
     def ifft2_real(self, c: Cx):
@@ -195,8 +183,8 @@ class FourierPlan2D:
         if self.native:
             z = jax.lax.complex(c.re, c.im)
             return jnp.real(jnp.fft.ifft2(z))
-        c = self._tx[1](c)
-        c = self._ty[1](Cx(c.re.T, c.im.T))
+        c = self._tx.ifft(c)
+        c = self._ty.ifft(Cx(c.re.T, c.im.T))
         return c.re.T
 
     def solve_symbol(self, f, symbol):
@@ -234,6 +222,24 @@ class SimpleFourierFilter:
     def __call__(self, f):
         c = self.plan.rfft(f)
         return self.plan.irfft(Cx(c.re * self.filt, c.im * self.filt))
+
+
+class DirectDFT1D:
+    """Single-matmul DFT along axis 0 of an (n, m) complex pair."""
+
+    def __init__(self, n: int):
+        c_, s_ = _dft_mats_np(n)
+        self.n = n
+        self.C = jnp.asarray(c_)
+        self.S = jnp.asarray(s_)
+
+    def fft(self, c: Cx) -> Cx:
+        return Cx(_dot(self.C, c.re) - _dot(self.S, c.im),
+                  _dot(self.S, c.re) + _dot(self.C, c.im))
+
+    def ifft(self, c: Cx) -> Cx:
+        o = self.fft(Cx(c.re, -c.im))
+        return Cx(o.re / self.n, -o.im / self.n)
 
 
 # ---------------------------------------------------------------------------

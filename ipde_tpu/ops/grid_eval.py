@@ -26,12 +26,13 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
-from scipy.special import j0, j1, k0 as K0, k1 as K1
+from scipy.special import j0, j1, jv, k0 as K0, k1 as K1
 
 from ipde_tpu.geometry.grid import Grid
 from ipde_tpu.ops.cx import Cx
 from ipde_tpu.ops.fourier import FourierPlan2D
-from ipde_tpu.ops.interp import _es_kernel, _es_kernel_ft_table
+from ipde_tpu.ops.interp import _es_kernel, _es_kernel_ft_table, \
+    _lagrange_weights
 
 _HIGH = jax.lax.Precision.HIGHEST
 
@@ -40,6 +41,7 @@ def laplace_truncated_symbol(kk: np.ndarray, L: float) -> np.ndarray:
     """FT of G_L = -log(r)/(2pi) * 1_{r<L}:
     Ghat_L(k) = [(1 - J0(kL)) - kL log(L) J1(kL)] / k^2, k != 0;
     Ghat_L(0) = -(L^2/2)(log L - 1/2)."""
+    kk = np.asarray(kk, np.float64)
     out = np.empty_like(kk)
     nz = kk > 0
     z = kk[nz] * L
@@ -55,6 +57,111 @@ def yukawa_truncated_symbol(kk: np.ndarray, L: float, kappa: float) -> np.ndarra
     z = kk * L
     return ((1.0 + z * j1(z) * K0(kappa * L)
              - kappa * L * j0(z) * K1(kappa * L)) / (kk**2 + kappa**2))
+
+
+def biharmonic_truncated_symbol(kk: np.ndarray, L: float) -> np.ndarray:
+    """FT of B_L = r^2 (log r - 1)/(8 pi) * 1_{r<L}  (2D biharmonic Green's
+    function, lap^2 B = delta).  With z = kL:
+
+      Bhat_L(k) = [(log L - 1)(z^3 J1(z) - 2 z^2 J2(z)) - z^2 J2(z)
+                   + 4 (1 - J0(z)) - 2 z J1(z)] / (4 k^4)
+      Bhat_L(0) = L^4 (4 log L - 5) / 64.
+
+    Derived by the same Bessel antiderivative identities the Laplace symbol
+    uses (int t J0 = z J1; int t^3 J0 = z^3 J1 - 2 z^2 J2; log factors by
+    parts).  The Stokeslet's truncated symbol follows as
+    Ghat_ij = (delta_ij k^2 - k_i k_j) Bhat_L, since
+    G = (grad grad - delta lap) B  (reference capability analogue: the SFMM
+    Stokes velocity evaluation at ipde/solvers/internals/stokes.py:26-35)."""
+    kk = np.asarray(kk, np.float64)
+    out = np.empty_like(kk)
+    nz = kk > 0
+    z = kk[nz] * L
+    J0z, J1z, J2z = j0(z), j1(z), jv(2, z)
+    out[nz] = ((np.log(L) - 1.0) * (z**3 * J1z - 2.0 * z**2 * J2z)
+               - z**2 * J2z + 4.0 * (1.0 - J0z) - 2.0 * z * J1z) \
+        / (4.0 * kk[nz] ** 4)
+    out[~nz] = L**4 * (4.0 * np.log(L) - 5.0) / 64.0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# radial tables of band-limited (screened) kernels
+# ---------------------------------------------------------------------------
+
+def _composite_gl(a: float, b: float, npanels: int, deg: int = 12):
+    """Composite Gauss-Legendre nodes/weights on [a, b]."""
+    xg, wg = np.polynomial.legendre.leggauss(deg)
+    edges = np.linspace(a, b, npanels + 1)
+    mid = 0.5 * (edges[:-1] + edges[1:])
+    half = 0.5 * (edges[1] - edges[0])
+    k = (mid[:, None] + half * xg[None, :]).ravel()
+    w = np.broadcast_to(half * wg[None, :], (npanels, deg)).ravel()
+    return k, w
+
+
+class RadialTable:
+    """T(r) tabulated on a uniform grid with order-p Lagrange evaluation."""
+
+    def __init__(self, r_nodes: np.ndarray, values: np.ndarray,
+                 order: int = 8):
+        self.r0 = float(r_nodes[0])
+        self.dr = float(r_nodes[1] - r_nodes[0])
+        self.tab = np.asarray(values)
+        self.order = order
+
+    def __call__(self, r: np.ndarray) -> np.ndarray:
+        r = np.asarray(r, np.float64).ravel()
+        k = self.order
+        half = (k - 1) // 2
+        t = (r - self.r0) / self.dr
+        j = np.clip(np.floor(t).astype(np.int64) - half, 0, self.tab.size - k)
+        nodes = j[:, None] + np.arange(k)[None, :]
+        w = _lagrange_weights(t[:, None] - nodes)
+        return (self.tab[nodes] * w).sum(axis=1)
+
+
+def _radial_hankel_tables(symfn, kmax: float, L_eff: float, r_max: float,
+                          moments, ntab: int = 2048):
+    """Tables of (1/2pi) int_0^kmax sym(k) k * m(kr) dk for each requested
+    moment m in ``moments`` (each a callable of (k, r) -> kernel values):
+
+    This is the 1D replacement of the 2D host NUFFT used to evaluate the
+    band-limited kernel at near-pair offsets: the screened symbol is RADIAL
+    and decays far below the lattice Nyquist, so its inverse FT is a radial
+    function given by a Hankel-type integral (the lattice/continuum
+    difference is the negligible periodization of an exponentially-localized
+    kernel).  ~1e3x cheaper than the NUFFT for millions of offsets."""
+    # panels resolve both the symbol's 2pi/L oscillation and J's 2pi/r_max
+    npanels = int(np.ceil(kmax * (L_eff + r_max) / (2.0 * np.pi))) + 64
+    k, w = _composite_gl(0.0, kmax, npanels)
+    base = symfn(k) * k * w / (2.0 * np.pi)
+    r_nodes = np.linspace(0.0, r_max, ntab)
+    out = []
+    for m in moments:
+        vals = np.empty(ntab)
+        chunk = max(1, (1 << 22) // max(k.size, 1))
+        for s in range(0, ntab, chunk):
+            rr = r_nodes[s:s + chunk]
+            vals[s:s + chunk] = m(k[None, :], rr[:, None]) @ base
+        out.append(RadialTable(r_nodes, vals))
+    return out
+
+
+def _m_j0(k, r):
+    return j0(k * r)
+
+
+def _m_j1_over_z(k, r):
+    """k^2 * J1(kr)/(kr), finite at r=0 (-> k^2/2)."""
+    z = k * r
+    small = z < 1e-8
+    zz = np.where(small, 1.0, z)
+    return k * k * np.where(small, 0.5 - z * z / 16.0, j1(zz) / zz)
+
+
+def _m_k2_j0(k, r):
+    return k * k * j0(k * r)
 
 
 def _host_nufft2(modes: np.ndarray, gx: np.ndarray, gy: np.ndarray,
@@ -103,22 +210,17 @@ def _host_nufft2(modes: np.ndarray, gx: np.ndarray, gy: np.ndarray,
     return out
 
 
-class FreespaceGridEvaluator:
-    """phi(grid) = sum_j G(x - s_j) q_j for fixed sources s_j inside the box.
+class _EvaluatorBase:
+    """Shared machinery: box/padding layout, spreading plan, window
+    deconvolution, Gaussian screen, and vectorized near-patch geometry."""
 
-    kernel: 'laplace' (G = -log r / 2pi) or 'yukawa' (G = K0(kappa r)/2pi).
-    Returned values live on the full (Nx, Ny) grid.
-    """
+    # truncation margin between the farthest used pair distance and the
+    # symbol's cutoff L, in units of h/pi: must exceed the Gaussian screen's
+    # blur reach.  Tensor (Hasimoto-screened) kernels get a larger margin --
+    # their complementary kernel carries eta^2-amplified polynomial factors.
+    MARGIN_H = 60.0
 
-    def __init__(self, grid: Grid, src_x, src_y, kernel: str = "laplace",
-                 kappa: float = 1.0, pad: int = None, w: int = 16,
-                 r_cut_h: float = 22.0, target_bounds=None):
-        """target_bounds: ((x0, x1), (y0, y1)) bounding box of the grid
-        points whose values are actually USED (e.g. the physical region);
-        shrinking it reduces the truncation radius and often the padding."""
-        src_x = np.asarray(src_x, np.float64).ravel()
-        src_y = np.asarray(src_y, np.float64).ravel()
-        self.S = src_x.size
+    def _setup_box(self, grid: Grid, src_x, src_y, pad, target_bounds):
         self.grid = grid
         Nx, Ny = grid.Nx, grid.Ny
         hx, hy = grid.xh, grid.yh
@@ -132,33 +234,30 @@ class FreespaceGridEvaluator:
                       for cx, cy in corners)
         # truncation radius must cover every pair WITH margin for the
         # Gaussian screen's blur width (several 1/eta), AND the nearest
-        # periodic image pair must be beyond it: pad*min(Lx,Ly) >= L + maxdist
-        L = maxdist + 60.0 * max(hx, hy) / np.pi
+        # periodic image pair must be beyond L plus the same blur margin:
+        # pad*min(Lx,Ly) >= L + maxdist + margin
+        marg = self.MARGIN_H * max(hx, hy) / np.pi
+        L = maxdist + marg
         if pad is None:
-            pad = int(np.ceil((L + maxdist) / min(Lx, Ly)))
+            pad = int(np.ceil((L + maxdist + marg) / min(Lx, Ly)))
             pad = max(pad, 2)
-        if pad * min(Lx, Ly) < L + maxdist - 1e-12:
+        if pad * min(Lx, Ly) < L + maxdist + marg - 1e-12:
             raise ValueError("padding insufficient to exclude periodic images")
-        Px, Py = pad * Nx, pad * Ny
-        self.Px, self.Py = Px, Py
+        self.Px, self.Py = pad * Nx, pad * Ny
         self.L = L
-        # ---- symbol on the padded modes -------------------------------
-        kx = 2 * np.pi * np.fft.fftfreq(Px, hx)
-        ky = 2 * np.pi * np.fft.fftfreq(Py, hy)
-        kk = np.hypot(kx[:, None], ky[None, :])
-        if kernel == "laplace":
-            sym = laplace_truncated_symbol(kk, L)
-            gfun = lambda r: -np.log(np.maximum(r, 1e-300)) / (2 * np.pi)
-        elif kernel == "yukawa":
-            sym = yukawa_truncated_symbol(kk, L, kappa)
-            gfun = lambda r: K0(kappa * np.maximum(r, 1e-300)) / (2 * np.pi)
-        else:
-            raise ValueError(kernel)
-        self.kernel = kernel
-        # ---- type-1 spreading plan (sources -> padded grid) -----------
+        self.A = (pad * Lx) * (pad * Ly)
+        # Gaussian screen width: kills the truncated symbol's Gibbs tail by
+        # the lattice Nyquist (exp(-32.5) there); the complementary near
+        # field is folded into the local corrections (classical
+        # particle-mesh structure; reference analogue:
+        # ipde/grid_evaluators/scalar_grid_evaluator.py)
+        self.eta = np.pi / (11.4 * max(hx, hy))
+
+    def _setup_spreading(self, src_x, src_y, w):
+        grid, Px, Py = self.grid, self.Px, self.Py
+        hx, hy = grid.xh, grid.yh
         beta = 2.30 * w
         half_w = w / 2.0
-        # source coordinates in padded-grid index units
         gx = (src_x - grid.x_bounds[0]) / hx
         gy = (src_y - grid.y_bounds[0]) / hy
         jx = np.floor(gx).astype(np.int64) - (w // 2 - 1)
@@ -171,119 +270,250 @@ class FreespaceGridEvaluator:
         self.spread_idx = jnp.asarray(flat.reshape(self.S, w * w), jnp.int32)
         self.spread_w = jnp.asarray((wx[:, :, None] * wy[:, None, :])
                                     .reshape(self.S, w * w))
-        # deconvolution of the spreading window (continuous FT at the
-        # padded wavenumbers, by quadrature)
+        # window deconvolution (continuous FT at the padded wavenumbers)
+        kx = 2 * np.pi * np.fft.fftfreq(Px, hx)
+        ky = 2 * np.pi * np.fft.fftfreq(Py, hy)
         xq, wq = np.polynomial.legendre.leggauss(max(200, 4 * w))
-        ax = half_w * hx
-        ay = half_w * hy
-        phx = (np.cos(np.outer(kx, ax * xq)) * (_es_kernel(xq, beta) * ax * wq)).sum(1)
-        phy = (np.cos(np.outer(ky, ay * xq)) * (_es_kernel(xq, beta) * ay * wq)).sum(1)
-        A = (pad * Lx) * (pad * Ly)
-        # Gaussian screen: point sources have flat spectra, so the truncated
-        # symbol's slowly-decaying k-tail (Gibbs ring of the sharp r=L cutoff)
-        # would alias at ~1e-3.  Splitting off a Gaussian-screened far field
-        # kills the tail; the complementary near interaction is folded into
-        # the local corrections below (classical particle-mesh structure;
-        # reference analogue: ipde/grid_evaluators/scalar_grid_evaluator.py).
-        h_eff = max(hx, hy)
-        eta = np.pi / (11.4 * h_eff)
-        # for the Yukawa operator the exact Ewald screen is
-        # exp(-(k^2+kappa^2)/4 eta^2): the complementary near part is then
-        # exponentially localized (a plain Gaussian blur is only exact for
-        # HARMONIC kernels, via the mean-value property)
-        kap2 = kappa**2 if kernel == "yukawa" else 0.0
-        gauss = np.exp(-(kk**2 + kap2) / (4.0 * eta**2))
-        sym = sym * gauss
-        # full multiplier: (hx hy / (phx phy)) [type-1 deconv] * sym / A,
-        # and the ifft2 we use is unnormalized-sum / (Px Py) -> multiply back
-        self.mult = jnp.asarray(
-            (hx * hy / (phx[:, None] * phy[None, :])) * sym / A * (Px * Py))
+        ax, ay = half_w * hx, half_w * hy
+        ker = _es_kernel(xq, beta)
+        phx = (np.cos(np.outer(kx, ax * xq)) * (ker * ax * wq)).sum(1)
+        phy = (np.cos(np.outer(ky, ay * xq)) * (ker * ay * wq)).sum(1)
+        # (hx hy / (phx phy)) [type-1 deconv] / A [continuous FT norm]
+        # * (Px Py) [our ifft2 is unnormalized-sum / (Px Py)]
+        self.deconv = ((hx * hy / (phx[:, None] * phy[None, :]))
+                       / self.A * (Px * Py))
+        self.kxc = kx[:, None]
+        self.kyr = ky[None, :]
+        self.kk = np.hypot(self.kxc, self.kyr)
         self.fft_plan = FourierPlan2D(Px, Py)
-        # ---- near corrections ------------------------------------------
-        r_cut = r_cut_h * max(hx, hy)
-        rows, cols, offx, offy = [], [], [], []
-        for j in range(self.S):
-            ix0 = int(np.ceil((src_x[j] - r_cut - grid.x_bounds[0]) / hx))
-            ix1 = int(np.floor((src_x[j] + r_cut - grid.x_bounds[0]) / hx))
-            iy0 = int(np.ceil((src_y[j] - r_cut - grid.y_bounds[0]) / hy))
-            iy1 = int(np.floor((src_y[j] + r_cut - grid.y_bounds[0]) / hy))
-            ix = np.arange(max(ix0, 0), min(ix1 + 1, Nx))
-            iy = np.arange(max(iy0, 0), min(iy1 + 1, Ny))
-            if ix.size == 0 or iy.size == 0:
-                continue
-            XX = grid.x_bounds[0] + ix * hx
-            YY = grid.y_bounds[0] + iy * hy
-            dx = (XX[:, None] - src_x[j])
-            dy = (YY[None, :] - src_y[j])
-            sel = (dx**2 + dy**2) <= r_cut**2
-            ii, jj = np.nonzero(sel)
-            rows.append(ix[ii] * Ny + iy[jj])
-            cols.append(np.full(ii.size, j))
-            offx.append(dx[ii, 0 * jj])
-            offy.append(dy[0 * ii, jj])
-        rows = np.concatenate(rows)
-        cols = np.concatenate(cols)
-        offx = np.concatenate(offx)
-        offy = np.concatenate(offy)
-        r = np.hypot(offx, offy)
-        # T at the static offsets: the band-limited kernel the FFT applies,
-        # evaluated by a one-time window-NUFFT of the symbol itself
-        # (pure host numpy: this is setup, and the target count can reach
-        # millions which the device compiler need not see)
-        T_off = _host_nufft2(sym / A, offx / hx, offy / hy, Px, Py)
-        corr = gfun(r) - T_off
-        # a source exactly on a grid point would make G singular; the QFS
-        # source curves never touch grid points, but guard anyway
-        corr[r < 1e-13] = 0.0
-        # pack corrections as per-source dense patches: the device-side
-        # accumulation is a lax.scan of dynamic-slice updates (a raw 1M-pair
-        # scatter-add costs ~140ms on TPU; the patch scan is a few ms)
+
+    def _spread(self, q):
+        spread = jnp.zeros(self.Px * self.Py)
+        vals = (self.spread_w * q[:, None]).ravel()
+        return spread.at[self.spread_idx.ravel()].add(vals)\
+            .reshape(self.Px, self.Py)
+
+    def _patch_geometry(self, src_x, src_y, r_cut):
+        """Vectorized near-pair geometry: every source gets one fixed-size
+        P x P patch of grid offsets around its nearest node; cells outside
+        r_cut (or outside the true grid) are masked/cropped."""
+        grid = self.grid
+        hx, hy = grid.xh, grid.yh
         wc = int(np.ceil(r_cut / min(hx, hy))) + 1
         P = 2 * wc + 1
         self.patch_P = P
         self.margin = wc
-        patches = np.zeros((self.S, P, P))
-        ox0 = np.empty(self.S, np.int32)
-        oy0 = np.empty(self.S, np.int32)
-        six = np.round((src_x - grid.x_bounds[0]) / hx).astype(int)
-        siy = np.round((src_y - grid.y_bounds[0]) / hy).astype(int)
-        for j in range(self.S):
-            ox0[j] = six[j] - wc + wc          # origin in the EXTENDED grid
-            oy0[j] = siy[j] - wc + wc
-        sel_rows_x = rows // Ny
-        sel_rows_y = rows % Ny
-        px_loc = sel_rows_x - (six[cols] - wc)
-        py_loc = sel_rows_y - (siy[cols] - wc)
-        ok = ((px_loc >= 0) & (px_loc < P) & (py_loc >= 0) & (py_loc < P))
-        if not ok.all():
-            raise RuntimeError("near pair outside its source patch")
-        patches[cols, px_loc, py_loc] = corr
-        self.patches = jnp.asarray(patches)
-        self.patch_x0 = jnp.asarray(ox0, jnp.int32)
-        self.patch_y0 = jnp.asarray(oy0, jnp.int32)
+        six = np.clip(np.round((src_x - grid.x_bounds[0]) / hx).astype(int),
+                      0, grid.Nx - 1)
+        siy = np.clip(np.round((src_y - grid.y_bounds[0]) / hy).astype(int),
+                      0, grid.Ny - 1)
+        loc = np.arange(P) - wc
+        dx = (six[:, None] + loc[None, :]) * hx + grid.x_bounds[0] \
+            - src_x[:, None]                       # (S, P)
+        dy = (siy[:, None] + loc[None, :]) * hy + grid.y_bounds[0] \
+            - src_y[:, None]
+        rr = np.hypot(dx[:, :, None], dy[:, None, :])   # (S, P, P)
+        mask = (rr <= r_cut) & (rr > 1e-13)
+        # patch origin in the EXTENDED (margin-padded) grid
+        self.patch_x0 = jnp.asarray(six, jnp.int32)
+        self.patch_y0 = jnp.asarray(siy, jnp.int32)
+        return dx[:, :, None] + 0.0 * dy[:, None, :], \
+            dy[:, None, :] + 0.0 * dx[:, :, None], rr, mask
+
+    def _apply_patches(self, grids, patch_stacks):
+        """Add per-source P x P patches to each grid in ``grids``.
+        patch_stacks: list of (S, P, P) arrays aligned with ``grids``."""
+        m = self.margin
+        Pp = self.patch_P
+        exts = tuple(jnp.zeros((self.grid.Nx + 2 * m, self.grid.Ny + 2 * m))
+                     for _ in grids)
+
+        def body(accs, inp):
+            x0, y0 = inp[-2], inp[-1]
+            out = []
+            for acc, patch in zip(accs, inp[:-2]):
+                cur = jax.lax.dynamic_slice(acc, (x0, y0), (Pp, Pp))
+                out.append(jax.lax.dynamic_update_slice(acc, cur + patch,
+                                                        (x0, y0)))
+            return tuple(out), None
+
+        exts, _ = jax.lax.scan(
+            body, exts, tuple(patch_stacks) + (self.patch_x0, self.patch_y0))
+        return [g + e[m:-m, m:-m] for g, e in zip(grids, exts)]
+
+
+class FreespaceGridEvaluator(_EvaluatorBase):
+    """phi(grid) = sum_j G(x - s_j) q_j for fixed sources s_j inside the box.
+
+    kernel: 'laplace' (G = -log r / 2pi) or 'yukawa' (G = K0(kappa r)/2pi).
+    Returned values live on the full (Nx, Ny) grid.
+
+    Structure: Vico-Greengard truncated-symbol convolution on a padded grid
+    (exact free-space field for all pair distances < L), Gaussian-screened
+    so the symbol is effectively band-limited, plus per-source local patches
+    adding (exact kernel - band-limited kernel) at the static near offsets.
+    The band-limited kernel is RADIAL, so the patch values come from a 1D
+    Hankel-quadrature table (no 2D NUFFT in setup).
+    """
+
+    def __init__(self, grid: Grid, src_x, src_y, kernel: str = "laplace",
+                 kappa: float = 1.0, pad: int = None, w: int = 16,
+                 r_cut_h: float = 22.0, target_bounds=None):
+        """target_bounds: ((x0, x1), (y0, y1)) bounding box of the grid
+        points whose values are actually USED (e.g. the physical region);
+        shrinking it reduces the truncation radius and often the padding."""
+        src_x = np.asarray(src_x, np.float64).ravel()
+        src_y = np.asarray(src_y, np.float64).ravel()
+        self.S = src_x.size
+        self.kernel = kernel
+        self._setup_box(grid, src_x, src_y, pad, target_bounds)
+        self._setup_spreading(src_x, src_y, w)
+        L, eta = self.L, self.eta
+        kap2 = kappa**2 if kernel == "yukawa" else 0.0
+        if kernel == "laplace":
+            symf = lambda k: (laplace_truncated_symbol(k, L)
+                              * np.exp(-(k**2) / (4 * eta**2)))
+            gfun = lambda r: -np.log(np.maximum(r, 1e-300)) / (2 * np.pi)
+        elif kernel == "yukawa":
+            # exact Ewald screen for the Yukawa operator: the complementary
+            # near part is then exponentially localized (a plain Gaussian
+            # blur is exact only for HARMONIC kernels)
+            symf = lambda k: (yukawa_truncated_symbol(k, L, kappa)
+                              * np.exp(-(k**2 + kap2) / (4 * eta**2)))
+            gfun = lambda r: K0(kappa * np.maximum(r, 1e-300)) / (2 * np.pi)
+        else:
+            raise ValueError(kernel)
+        self.mult = jnp.asarray(symf(self.kk) * self.deconv)
+        # ---- near corrections (radial table of the band-limited kernel) --
+        hx, hy = grid.xh, grid.yh
+        r_cut = r_cut_h * max(hx, hy)
+        dx, dy, rr, mask = self._patch_geometry(src_x, src_y, r_cut)
+        kmax = 12.0 * eta
+        (T,) = _radial_hankel_tables(symf, kmax, L, rr.max() * 1.0001,
+                                     [_m_j0])
+        corr = np.where(mask, gfun(np.maximum(rr, 1e-300))
+                        - T(rr).reshape(rr.shape), 0.0)
+        self.patches = jnp.asarray(corr)
 
     def __call__(self, q):
         """q: (S,) weighted charges -> (Nx, Ny) potential grid."""
-        spread = jnp.zeros(self.Px * self.Py)
-        vals = (self.spread_w * q[:, None]).ravel()
-        spread = spread.at[self.spread_idx.ravel()].add(vals)
-        spread = spread.reshape(self.Px, self.Py)
+        spread = self._spread(q)
         c = self.fft_plan.fft2(spread)
         c = Cx(c.re * self.mult, c.im * self.mult)
         phi = self.fft_plan.ifft2_real(c)[: self.grid.Nx, : self.grid.Ny]
-        # near corrections: scan of dense patch updates on an extended grid
-        m = self.margin
-        Pp = self.patch_P
-        ext = jnp.zeros((self.grid.Nx + 2 * m, self.grid.Ny + 2 * m))
-
-        def body(acc, inp):
-            patch, x0, y0 = inp
-            cur = jax.lax.dynamic_slice(acc, (x0, y0), (Pp, Pp))
-            return jax.lax.dynamic_update_slice(acc, cur + patch,
-                                                (x0, y0)), None
-
-        ext, _ = jax.lax.scan(
-            body, ext, (self.patches * q[:, None, None],
-                        self.patch_x0, self.patch_y0))
-        phi = phi + ext[m:-m, m:-m]
+        (phi,) = self._apply_patches(
+            [phi], [self.patches * q[:, None, None]])
         return phi
+
+
+class StokesFreespaceGridEvaluator(_EvaluatorBase):
+    """(u, v, p)(grid) from fixed Stokeslets: the Stokes analogue of
+    FreespaceGridEvaluator (the reference evaluates this with an O(N) FMM,
+    ipde/solvers/internals/stokes.py:26-35; dense and FFT beat it on TPU).
+
+    Velocity symbol via the truncated biharmonic:
+        uhat = Bhat_L * ky (ky fx - kx fy),  vhat = -Bhat_L * kx (ky fx - kx fy)
+    (G = (grad grad - delta lap) B).  Pressure via the truncated Laplace
+    symbol:  phat = -i (kx fx + ky fy) * Qhat_L,  Q = -G_lap.
+
+    __call__(wfx, wfy) takes quadrature-weighted force components and
+    returns (u, v, p) on the full grid.
+    """
+
+    MARGIN_H = 80.0   # Hasimoto screen reaches further (see _EvaluatorBase)
+
+    def __init__(self, grid: Grid, src_x, src_y, pad: int = None, w: int = 16,
+                 r_cut_h: float = 22.0, target_bounds=None):
+        src_x = np.asarray(src_x, np.float64).ravel()
+        src_y = np.asarray(src_y, np.float64).ravel()
+        self.S = src_x.size
+        self._setup_box(grid, src_x, src_y, pad, target_bounds)
+        self._setup_spreading(src_x, src_y, w)
+        L, eta = self.L, self.eta
+        # velocity screen: the Hasimoto/Ewald factor (1 + k^2/4eta^2) gauss.
+        # A plain Gaussian leaves (1 - gauss) k_i k_j / k^4 terms that are
+        # NON-smooth at k = 0 (algebraic ~1e-4 far-field tails); with the
+        # Hasimoto factor every complementary term is entire in k and the
+        # residual near field is Gaussian-localized (classical 2D spectral
+        # Ewald for Stokes).
+        screen_v = lambda k: ((1.0 + k**2 / (4 * eta**2))
+                              * np.exp(-(k**2) / (4 * eta**2)))
+        screen = lambda k: np.exp(-(k**2) / (4 * eta**2))
+        bsym = lambda k: biharmonic_truncated_symbol(k, L) * screen_v(k)
+        qsym = lambda k: laplace_truncated_symbol(k, L) * screen(k)
+        self.multB = jnp.asarray(bsym(self.kk) * self.deconv)
+        self.multQ = jnp.asarray(qsym(self.kk) * self.deconv)
+        self.kx_dev = jnp.asarray(self.kxc)
+        self.ky_dev = jnp.asarray(self.kyr)
+        # ---- near corrections --------------------------------------------
+        # The band-limited velocity kernel is derivatives of the RADIAL
+        # band-limited biharmonic Bs:  T_xx = -(A2 dy^2 + A1 dx^2)/r^2,
+        # T_xy = (A2 - A1) dx dy / r^2, T_yy = -(A2 dx^2 + A1 dy^2)/r^2 with
+        # A1 = Bs'/r, A2 = Bs''; pressure T_pj = -Gs' d_j / r with Gs the
+        # band-limited -G_lap... (Q = -G_lap so T_pj = -Qs' d_j / r).
+        hx, hy = grid.xh, grid.yh
+        r_cut = r_cut_h * max(hx, hy)
+        dx, dy, rr, mask = self._patch_geometry(src_x, src_y, r_cut)
+        kmax = 12.0 * eta
+        r_max = rr.max() * 1.0001
+        # A1 = Bs'/r = -(1/2pi) int Bhat k^2 (J1(z)/z) k dk -> moment
+        # _m_j1_over_z gives k^2 J1/z; Ta = (1/2pi) int Bhat k^3 J0;
+        # A2 = Bs'' = -Ta + Tb where Tb = (1/2pi) int Bhat k^2 (J1/z) k dk
+        Tb_t, Ta_t, Qb_t = _radial_hankel_tables(
+            bsym, kmax, L, r_max, [_m_j1_over_z, _m_k2_j0]) \
+            + _radial_hankel_tables(qsym, kmax, L, r_max, [_m_j1_over_z])
+        sh = rr.shape
+        rs = np.maximum(rr, 1e-300)
+        A1 = -Tb_t(rr).reshape(sh)
+        A2 = (-Ta_t(rr) + Tb_t(rr)).reshape(sh)
+        # Qs'(r)/r table: -(1/2pi) int qsym k^2 (J1/z) k dk = -Qb;
+        # T_pj = -Qs' d_j/r = +Qb * d_j
+        Qb = Qb_t(rr).reshape(sh)
+        r2 = rs**2
+        T_xx = -(A2 * dy**2 + A1 * dx**2) / r2
+        T_xy = (A2 - A1) * dx * dy / r2
+        T_yy = -(A2 * dx**2 + A1 * dy**2) / r2
+        T_px = Qb * dx
+        T_py = Qb * dy
+        # exact kernels (mu = 1 Stokeslet + its pressure).  The real-space
+        # identity is G_ij = (grad grad - delta lap) B + delta_ij/(8 pi):
+        # the constant comes from the distributional k=0 part of B's FT
+        # (r^2 log r grows), so the FFT pipeline applies G - 1/(8 pi) on the
+        # diagonal.  We match the corrections to that effective kernel and
+        # add sum(f)/(8 pi) back once in __call__.
+        logr = np.log(rs)
+        G_xx = (-logr + dx**2 / r2) / (4 * np.pi) - 1.0 / (8 * np.pi)
+        G_xy = (dx * dy / r2) / (4 * np.pi)
+        G_yy = (-logr + dy**2 / r2) / (4 * np.pi) - 1.0 / (8 * np.pi)
+        P_x = dx / (2 * np.pi * r2)
+        P_y = dy / (2 * np.pi * r2)
+        z = np.zeros_like(rr)
+        self.Cxx = jnp.asarray(np.where(mask, G_xx - T_xx, z))
+        self.Cxy = jnp.asarray(np.where(mask, G_xy - T_xy, z))
+        self.Cyy = jnp.asarray(np.where(mask, G_yy - T_yy, z))
+        self.Cpx = jnp.asarray(np.where(mask, P_x - T_px, z))
+        self.Cpy = jnp.asarray(np.where(mask, P_y - T_py, z))
+
+    def __call__(self, wfx, wfy):
+        """(S,) weighted force components -> (u, v, p) on the (Nx, Ny) grid."""
+        Fx = self.fft_plan.fft2(self._spread(wfx))
+        Fy = self.fft_plan.fft2(self._spread(wfy))
+        kx, ky = self.kx_dev, self.ky_dev
+        # w = Bhat (ky Fx - kx Fy);  u = ky w;  v = -kx w
+        wre = self.multB * (ky * Fx.re - kx * Fy.re)
+        wim = self.multB * (ky * Fx.im - kx * Fy.im)
+        u = self.fft_plan.ifft2_real(Cx(ky * wre, ky * wim))
+        v = self.fft_plan.ifft2_real(Cx(-kx * wre, -kx * wim))
+        # p = ifft[-i (kx Fx + ky Fy) Qhat]
+        sre = kx * Fx.re + ky * Fy.re
+        sim = kx * Fx.im + ky * Fy.im
+        p = self.fft_plan.ifft2_real(Cx(self.multQ * sim, -self.multQ * sre))
+        Nx, Ny = self.grid.Nx, self.grid.Ny
+        # restore the constant the (grad grad - delta lap) B form drops
+        u = u[:Nx, :Ny] + jnp.sum(wfx) / (8 * jnp.pi)
+        v = v[:Nx, :Ny] + jnp.sum(wfy) / (8 * jnp.pi)
+        p = p[:Nx, :Ny]
+        pu = self.Cxx * wfx[:, None, None] + self.Cxy * wfy[:, None, None]
+        pv = self.Cxy * wfx[:, None, None] + self.Cyy * wfy[:, None, None]
+        pp = self.Cpx * wfx[:, None, None] + self.Cpy * wfy[:, None, None]
+        return tuple(self._apply_patches([u, v, p], [pu, pv, pp]))

@@ -141,31 +141,47 @@ class AnnularScalarSolver:
         self.iterations_last_call = 0
 
     def make_ops(self, metric: AnnularMetric) -> AnnularOps:
-        return AnnularOps(
-            psi1=jnp.asarray(metric.psi1),
-            inv_psi1=jnp.asarray(metric.inv_psi1),
-            inv_psi2=jnp.asarray(metric.inv_psi2),
-            **self.ops_static,
-        )
+        """Device operator bundle for this (solver, metric) pair, cached on
+        the metric so repeated solves (and planified jit traces) reuse ONE
+        set of concrete device arrays instead of re-embedding constants."""
+        cache = metric.__dict__.setdefault("_annular_ops_cache", {})
+        ops = cache.get(id(self))
+        if ops is None:
+            ops = AnnularOps(
+                psi1=jnp.asarray(metric.psi1),
+                inv_psi1=jnp.asarray(metric.inv_psi1),
+                inv_psi2=jnp.asarray(metric.inv_psi2),
+                **self.ops_static,
+            )
+            cache[id(self)] = ops
+        return ops
 
     def solve(self, metric: AnnularMetric, f, g_lb, g_ub, tol: float = 1e-14,
               maxiter: int = 200, restart: int = 40, verbose: bool = False):
         """Solve; f is (M, n) (numpy or jnp), g_lb/g_ub are (n,) BC data."""
+        u, stats = self.solve_with_stats(metric, f, g_lb, g_ub, tol=tol,
+                                         maxiter=maxiter, restart=restart,
+                                         verbose=verbose)
+        return u
+
+    def solve_with_stats(self, metric: AnnularMetric, f, g_lb, g_ub,
+                         tol: float = 1e-14, maxiter: int = 200,
+                         restart: int = 40, verbose: bool = False):
+        """Like solve, also returning {'iterations', 'residual'} as device
+        scalars (jit-safe: nothing is host-synced here)."""
         ops = self.make_ops(metric)
-        top = jnp.matmul(jnp.asarray(self.ops_static["R02"]), jnp.asarray(f),
+        top = jnp.matmul(self.ops_static["R02"], jnp.asarray(f),
                          precision=_HIGH)
         rhs = jnp.concatenate(
             [top, jnp.asarray(g_lb)[None], jnp.asarray(g_ub)[None]], axis=0)
         u, iters, resid = _solve_jit(ops, rhs.ravel(), self.M, self.n,
                                      maxiter, restart, jnp.asarray(tol))
-        try:
+        if not isinstance(iters, jax.core.Tracer):
             self.iterations_last_call = int(iters)
-        except (jax.errors.TracerIntegerConversionError,
-                jax.errors.ConcretizationTypeError):
-            self.iterations_last_call = iters  # inside an outer jit trace
-        if verbose:
-            print(f"annular GMRES: {int(iters)} iters, resid {float(resid):.2e}")
-        return u
+            if verbose:
+                print(f"annular GMRES: {int(iters)} iters, "
+                      f"resid {float(resid):.2e}")
+        return u, {"iterations": iters, "residual": resid}
 
 
 class AnnularModifiedHelmholtzSolver(AnnularScalarSolver):
@@ -183,5 +199,8 @@ class AnnularPoissonSolver(AnnularScalarSolver):
     def __init__(self, geom: AnnularGeometry, **bc):
         super().__init__(geom, helmholtz_k=0.0, **bc)
 
-    def solve(self, metric, f, g_lb, g_ub, **kw):
-        return super().solve(metric, -jnp.asarray(f), g_lb, g_ub, **kw)
+    def solve_with_stats(self, metric, f, g_lb, g_ub, **kw):
+        # the inherited solve() routes through here, so the sign flip
+        # happens exactly once for both entry points
+        return super().solve_with_stats(metric, -jnp.asarray(f), g_lb, g_ub,
+                                        **kw)

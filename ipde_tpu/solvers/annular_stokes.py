@@ -221,13 +221,19 @@ class AnnularStokesSolver:
         self.iterations_last_call = 0
 
     def make_ops(self, metric: AnnularMetric) -> StokesOps:
+        """Device operator bundle, cached on the metric (see the scalar
+        solver's make_ops for why)."""
+        cache = metric.__dict__.setdefault("_stokes_ops_cache", {})
+        ops = cache.get(id(self))
+        if ops is not None:
+            return ops
         geom = self.geom
         dr_psi = metric.speed * metric.curvature   # (n,)
         ipsi2sq = metric.inv_psi2**2               # (M-2, n)
         cross = (metric.dt_curvature
                  / (metric.speed * (1.0 + geom.rv2[:, None]
                                     * metric.curvature) ** 3))
-        return StokesOps(
+        ops = StokesOps(
             psi0=jnp.asarray(metric.psi0),
             psi1=jnp.asarray(metric.psi1),
             inv_psi1=jnp.asarray(metric.inv_psi1),
@@ -237,12 +243,22 @@ class AnnularStokesSolver:
             cross=jnp.asarray(cross),
             **self._static,
         )
+        cache[id(self)] = ops
+        return ops
 
     def solve(self, metric: AnnularMetric, fr, ft, lbc_r, lbc_t, ubc_r,
               ubc_t, tol: float = 1e-14, maxiter: int = 200,
               restart: int = 50, verbose: bool = False):
+        (ur, ut, p_full), _ = self.solve_with_stats(
+            metric, fr, ft, lbc_r, lbc_t, ubc_r, ubc_t, tol=tol,
+            maxiter=maxiter, restart=restart, verbose=verbose)
+        return ur, ut, p_full
+
+    def solve_with_stats(self, metric: AnnularMetric, fr, ft, lbc_r, lbc_t,
+                         ubc_r, ubc_t, tol: float = 1e-14, maxiter: int = 200,
+                         restart: int = 50, verbose: bool = False):
         ops = self.make_ops(metric)
-        R02 = jnp.asarray(self._static["R02"])
+        R02 = self._static["R02"]
         top_r = jnp.matmul(R02, jnp.asarray(fr), precision=_HIGH)
         top_t = jnp.matmul(R02, jnp.asarray(ft), precision=_HIGH)
         rhs = jnp.concatenate([
@@ -253,13 +269,10 @@ class AnnularStokesSolver:
         ur, ut, p, iters, resid = _solve_jit(ops, rhs, self.M, self.n,
                                              maxiter, restart,
                                              jnp.asarray(tol))
-        try:
+        if not isinstance(iters, jax.core.Tracer):
             self.iterations_last_call = int(iters)
-        except (jax.errors.TracerIntegerConversionError,
-                jax.errors.ConcretizationTypeError):
-            self.iterations_last_call = iters
-        if verbose:
-            print(f"annular Stokes GMRES: {int(iters)} iters, "
-                  f"resid {float(resid):.2e}")
+            if verbose:
+                print(f"annular Stokes GMRES: {int(iters)} iters, "
+                      f"resid {float(resid):.2e}")
         p_full = jnp.matmul(self.P10, p, precision=_HIGH)
-        return ur, ut, p_full
+        return (ur, ut, p_full), {"iterations": iters, "residual": resid}

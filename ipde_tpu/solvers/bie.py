@@ -56,9 +56,14 @@ class DirichletBIE:
         self.src_list = []
         for e in ebdyc:
             src = e.qfs_source_for_side("bdy", interior_eval=e.interior)
+            src.dev()   # warm device mirrors (planified-jit arguments)
             self.src_list.append(src)
             self.qfs_list.append(
                 solver._make_qfs(e.bdy, src, e.interior))
+        self.src_w_dev = [s.dev()["weights"] for s in self.src_list]
+        self.radial_targets = [
+            (jnp.asarray(e.radial_x.ravel()), jnp.asarray(e.radial_y.ravel()))
+            for e in ebdyc]
         # physical grid points (all of them: pna + in-annulus)
         self.phys_flat = jnp.asarray(np.flatnonzero(ebdyc.phys), jnp.int32)
         self.phys_x = jnp.asarray(ebdyc.grid.xg[ebdyc.phys])
@@ -101,8 +106,8 @@ class DirichletBIE:
         # evaluate onto all physical grid points and every radial grid
         radial_vals = [jnp.zeros(e.radial_shape) for e in self.ebdyc]
         if self.grid_eval is not None:
-            wq = jnp.concatenate([sig * jnp.asarray(src.weights)
-                                  for src, sig in zip(self.src_list, sigmas)])
+            wq = jnp.concatenate([sig * w for w, sig
+                                  in zip(self.src_w_dev, sigmas)])
             phi = self.grid_eval(wq)
             new_grid = ue.grid + jnp.where(self.phys_mask_dev, phi, 0.0)
         else:
@@ -114,9 +119,8 @@ class DirichletBIE:
                 .reshape(ue.grid.shape)
         for src, sig in zip(self.src_list, sigmas):
             for i, e in enumerate(self.ebdyc):
-                v = solver._apply(src, sig,
-                                  jnp.asarray(e.radial_x.ravel()),
-                                  jnp.asarray(e.radial_y.ravel()))
+                rtx, rty = self.radial_targets[i]
+                v = solver._apply(src, sig, rtx, rty)
                 radial_vals[i] = radial_vals[i] + v.reshape(e.radial_shape)
         new_radials = [r + dv for r, dv in zip(ue.radials, radial_vals)]
         return EmbeddedFunction(new_grid, new_radials)
@@ -180,13 +184,30 @@ class StokesDirichletBIE:
         self.src_list = []
         for e in ebdyc:
             src = e.qfs_source_for_side("bdy", interior_eval=e.interior)
+            src.dev()
             self.src_list.append(src)
             self.qfs_list.append(
                 stokes_qfs(e.bdy, src, e.interior,
                            slp=not e.interior, dlp=True))
+        self.radial_targets = [
+            (jnp.asarray(e.radial_x.ravel()), jnp.asarray(e.radial_y.ravel()))
+            for e in ebdyc]
         self.phys_flat = jnp.asarray(np.flatnonzero(ebdyc.phys), jnp.int32)
         self.phys_x = jnp.asarray(ebdyc.grid.xg[ebdyc.phys])
         self.phys_y = jnp.asarray(ebdyc.grid.yg[ebdyc.phys])
+        self.phys_mask_dev = jnp.asarray(ebdyc.phys)
+        self.grid_eval = None
+        if getattr(solver, "grid_backend", "dense") == "fft":
+            from ipde_tpu.ops.grid_eval import StokesFreespaceGridEvaluator
+            gx = np.concatenate([s_.x for s_ in self.src_list])
+            gy = np.concatenate([s_.y for s_ in self.src_list])
+            g = ebdyc.grid
+            px = g.xg[ebdyc.phys]
+            py = g.yg[ebdyc.phys]
+            bounds = ((float(px.min()), float(px.max())),
+                      (float(py.min()), float(py.max())))
+            self.grid_eval = StokesFreespaceGridEvaluator(
+                g, gx, gy, target_bounds=bounds)
 
     def apply_bc(self, u, v, p, bc_u, bc_v):
         """Correct (u, v, p) to satisfy the velocity boundary conditions."""
@@ -209,32 +230,48 @@ class StokesDirichletBIE:
                 sigmas.append(q([t]))
             else:
                 sigmas.append(q([t, t]))
-        du = jnp.zeros(self.phys_x.shape[0])
-        dv = jnp.zeros_like(du)
-        dp = jnp.zeros_like(du)
         radial_updates = [[jnp.zeros(e.radial_shape) for e in self.ebdyc]
                           for _ in range(3)]
-        for src, sig in zip(self.src_list, sigmas):
-            w = jnp.asarray(src.weights)
-            gu, gv, gp = sk.stokes_slp_apply(src.x, src.y, sig[:src.N] * w,
-                                             sig[src.N:] * w, self.phys_x,
-                                             self.phys_y)
-            du, dv, dp = du + gu, dv + gv, dp + gp
-            for i, e in enumerate(self.ebdyc):
-                ru, rv, rp = sk.stokes_slp_apply(
-                    src.x, src.y, sig[:src.N] * w, sig[src.N:] * w,
-                    jnp.asarray(e.radial_x.ravel()),
-                    jnp.asarray(e.radial_y.ravel()))
-                sh = e.radial_shape
-                radial_updates[0][i] = radial_updates[0][i] + ru.reshape(sh)
-                radial_updates[1][i] = radial_updates[1][i] + rv.reshape(sh)
-                radial_updates[2][i] = radial_updates[2][i] + rp.reshape(sh)
         sh = u.grid.shape
-        u2 = EmbeddedFunction(u.grid.ravel().at[self.phys_flat].add(du).reshape(sh),
+        if self.grid_eval is not None:
+            wfx = jnp.concatenate([sig[:src.N] * src.dev()["weights"]
+                                   for src, sig in zip(self.src_list, sigmas)])
+            wfy = jnp.concatenate([sig[src.N:] * src.dev()["weights"]
+                                   for src, sig in zip(self.src_list, sigmas)])
+            gu, gv, gp = self.grid_eval(wfx, wfy)
+            gnew = [u.grid + jnp.where(self.phys_mask_dev, gu, 0.0),
+                    v.grid + jnp.where(self.phys_mask_dev, gv, 0.0),
+                    p.grid + jnp.where(self.phys_mask_dev, gp, 0.0)]
+        else:
+            du = jnp.zeros(self.phys_x.shape[0])
+            dv = jnp.zeros_like(du)
+            dp = jnp.zeros_like(du)
+            for src, sig in zip(self.src_list, sigmas):
+                d = src.dev()
+                w = d["weights"]
+                gu, gv, gp = sk.stokes_slp_apply(
+                    d["x"], d["y"], sig[:src.N] * w, sig[src.N:] * w,
+                    self.phys_x, self.phys_y)
+                du, dv, dp = du + gu, dv + gv, dp + gp
+            gnew = [g.ravel().at[self.phys_flat].add(dd).reshape(sh)
+                    for g, dd in zip([u.grid, v.grid, p.grid], [du, dv, dp])]
+        for src, sig in zip(self.src_list, sigmas):
+            d = src.dev()
+            w = d["weights"]
+            for i, e in enumerate(self.ebdyc):
+                rtx, rty = self.radial_targets[i]
+                ru, rv, rp = sk.stokes_slp_apply(
+                    d["x"], d["y"], sig[:src.N] * w, sig[src.N:] * w,
+                    rtx, rty)
+                shp = e.radial_shape
+                radial_updates[0][i] = radial_updates[0][i] + ru.reshape(shp)
+                radial_updates[1][i] = radial_updates[1][i] + rv.reshape(shp)
+                radial_updates[2][i] = radial_updates[2][i] + rp.reshape(shp)
+        u2 = EmbeddedFunction(gnew[0],
                               [a + b for a, b in zip(u.radials, radial_updates[0])])
-        v2 = EmbeddedFunction(v.grid.ravel().at[self.phys_flat].add(dv).reshape(sh),
+        v2 = EmbeddedFunction(gnew[1],
                               [a + b for a, b in zip(v.radials, radial_updates[1])])
-        p2 = EmbeddedFunction(p.grid.ravel().at[self.phys_flat].add(dp).reshape(sh),
+        p2 = EmbeddedFunction(gnew[2],
                               [a + b for a, b in zip(p.radials, radial_updates[2])])
         return u2, v2, p2
 
@@ -286,9 +323,14 @@ class NeumannBIE:
         self.src_list = []
         for e in ebdyc:
             src = e.qfs_source_for_side("bdy", interior_eval=e.interior)
+            src.dev()
             self.src_list.append(src)
             self.qfs_list.append(
                 solver._make_qfs_slp_only(e.bdy, src, e.interior))
+        self.src_w_dev = [s.dev()["weights"] for s in self.src_list]
+        self.radial_targets = [
+            (jnp.asarray(e.radial_x.ravel()), jnp.asarray(e.radial_y.ravel()))
+            for e in ebdyc]
         self.phys_flat = jnp.asarray(np.flatnonzero(ebdyc.phys), jnp.int32)
         self.phys_x = jnp.asarray(ebdyc.grid.xg[ebdyc.phys])
         self.phys_y = jnp.asarray(ebdyc.grid.yg[ebdyc.phys])
@@ -312,8 +354,8 @@ class NeumannBIE:
         xis = [q([s]) for q, s in zip(self.qfs_list, sigs)]
         radial_vals = [jnp.zeros(e.radial_shape) for e in self.ebdyc]
         if self.grid_eval is not None:
-            wq = jnp.concatenate([xi * jnp.asarray(src.weights)
-                                  for src, xi in zip(self.src_list, xis)])
+            wq = jnp.concatenate([xi * w for w, xi
+                                  in zip(self.src_w_dev, xis)])
             phi = self.grid_eval(wq)
             new_grid = ue.grid + jnp.where(self.phys_mask_dev, phi, 0.0)
         else:
@@ -325,9 +367,8 @@ class NeumannBIE:
                 .reshape(ue.grid.shape)
         for src, xi in zip(self.src_list, xis):
             for i, e in enumerate(self.ebdyc):
-                v = solver._apply(src, xi,
-                                  jnp.asarray(e.radial_x.ravel()),
-                                  jnp.asarray(e.radial_y.ravel()))
+                rtx, rty = self.radial_targets[i]
+                v = solver._apply(src, xi, rtx, rty)
                 radial_vals[i] = radial_vals[i] + v.reshape(e.radial_shape)
         new_radials = [r + dv for r, dv in zip(ue.radials, radial_vals)]
         return EmbeddedFunction(new_grid, new_radials)

@@ -72,13 +72,21 @@ class _ScalarHelper:
         self.f_to_ifc = jnp.asarray(ebdy.interp_f_to_interface)
         self.dn_to_ifc = jnp.asarray(ebdy.interp_dn_to_interface)
         self.ifc_normal = (jnp.asarray(ifc.normal_x), jnp.asarray(ifc.normal_y))
+        # hoisted device mirrors: jitted solves must see plan ARGUMENTS, not
+        # trace-time constants (planify registers everything created here)
+        self.radial_tx = jnp.asarray(ebdy.radial_x.ravel())
+        self.radial_ty = jnp.asarray(ebdy.radial_y.ravel())
+        self.annular_solver.make_ops(self.metric)   # warm the ops cache
+        self.grid_source.dev()
+        self.radial_source.dev()
         self.iterations_last_call = 0
 
     def solve_and_densities(self, fr, bv, bx, by, tol, maxiter, restart):
         """Annular solve + QFS densities (reference: internals/scalar.py:68-94)."""
         zero = jnp.zeros(self.ebdy.bdy.N)
-        ur = self.annular_solver.solve(self.metric, fr, zero, zero, tol=tol,
-                                       maxiter=maxiter, restart=restart)
+        ur, stats = self.annular_solver.solve_with_stats(
+            self.metric, fr, zero, zero, tol=tol, maxiter=maxiter,
+            restart=restart)
         self.iterations_last_call = self.annular_solver.iterations_last_call
         urn = jnp.matmul(self.dn_to_ifc, ur, precision=_HIGH)
         ucn = bx * self.ifc_normal[0] + by * self.ifc_normal[1]
@@ -89,7 +97,7 @@ class _ScalarHelper:
             dlp = -dlp
         sigma_g = self.qfs_g([slp, dlp])
         sigma_r = self.qfs_r([slp, dlp])
-        return ur, sigma_g, sigma_r
+        return ur, sigma_g, sigma_r, stats
 
     def correct(self, solver, ur, sigma_g, sigma_r, bu):
         """Fold in other boundaries' fields (reference: internals/scalar.py:95-116)."""
@@ -98,9 +106,7 @@ class _ScalarHelper:
         sigma_r_adj = self.qfs_r.u2s(bu - w)
         sigma_r_tot = sigma_r + sigma_r_adj
         src = self.radial_source
-        rslp = solver._apply(src, sigma_r_tot,
-                             self.ebdy.radial_x.ravel(),
-                             self.ebdy.radial_y.ravel())
+        rslp = solver._apply(src, sigma_r_tot, self.radial_tx, self.radial_ty)
         return ur + rslp.reshape(self.ebdy.radial_shape)
 
 
@@ -115,11 +121,25 @@ class ScalarSolver:
     """
 
     def __init__(self, ebdyc: EmbeddedBoundaryCollection,
-                 helpers: Optional[List] = None, grid_backend: str = "fft"):
+                 helpers: Optional[List] = None, grid_backend: str = "fft",
+                 solver_type: str = "spectral"):
+        """solver_type: 'spectral' (NUFFT interface data from the mode
+        array) or 'fourth' (4th-order FD grid derivatives + 3rd-order
+        polynomial interface interpolation; reference:
+        ipde/solvers/multi_boundary/scalar.py:25,47,80-95)."""
         self.ebdyc = ebdyc
         if ebdyc.grid is None:
             raise ValueError("collection has no registered grid")
+        if solver_type not in ("spectral", "fourth"):
+            raise ValueError(solver_type)
         self.grid_backend = grid_backend
+        self.solver_type = solver_type
+        if solver_type == "fourth":
+            from ipde_tpu.ops.interp import PolyInterpolator2D
+            g = ebdyc.grid
+            self.ifc_poly_interp = PolyInterpolator2D(
+                g.x_bounds[0], g.y_bounds[0], g.xh, g.yh, g.Nx, g.Ny,
+                ebdyc.all_interface_x, ebdyc.all_interface_y, order=3)
         self.helpers = [ _ScalarHelper(self, e) for e in ebdyc ]
         # merged grid sources
         gx = np.concatenate([h.grid_source.x for h in self.helpers])
@@ -170,6 +190,16 @@ class ScalarSolver:
     def __call__(self, f: EmbeddedFunction, tol: float = 1e-14,
                  maxiter: int = 200, restart: int = 40,
                  verbose: bool = False) -> EmbeddedFunction:
+        ue, _ = self.solve_with_stats(f, tol=tol, maxiter=maxiter,
+                                      restart=restart, verbose=verbose)
+        return ue
+
+    def solve_with_stats(self, f: EmbeddedFunction, tol: float = 1e-14,
+                         maxiter: int = 200, restart: int = 40,
+                         verbose: bool = False):
+        """Full solve, also returning a jit-safe stats pytree:
+        {'annular_iterations': (B,), 'annular_residuals': (B,)} device arrays
+        (reference analogue: iteration_counts, multi_boundary/scalar.py:102)."""
         ebdyc = self.ebdyc
         fft_plan = ebdyc.fft_plan
         fc = f.grid * ebdyc.grid_step_dev
@@ -177,23 +207,40 @@ class ScalarSolver:
         modes = fft_plan.fft2(fc)
         uch = Cx(modes.re * self._symbol, modes.im * self._symbol)
         uc = fft_plan.ifft2_real(uch)
-        # interface values + gradients from the mode array (batched NUFFT)
-        kx, ky = ebdyc.kx_dev, ebdyc.ky_dev
-        stack = Cx(jnp.stack([uch.re, -uch.im * kx, -uch.im * ky]),
-                   jnp.stack([uch.im, uch.re * kx, uch.re * ky]))
-        all_iv = ebdyc.interpolate_grid_to_interface_modes(stack)
-        bvs, bxs, bys = all_iv[0], all_iv[1], all_iv[2]
+        if self.solver_type == "fourth":
+            # 4th-order FD derivatives + 3rd-order polynomial interface
+            # interpolation (reference: multi_boundary/scalar.py:89-95)
+            from ipde_tpu.ops.fd import fd_x_4, fd_y_4
+            g = ebdyc.grid
+            bvs = self.ifc_poly_interp(uc)
+            bxs = self.ifc_poly_interp(fd_x_4(uc, g.xh))
+            bys = self.ifc_poly_interp(fd_y_4(uc, g.yh))
+        else:
+            # interface values + gradients from the mode array (one batched
+            # NUFFT; reference: multi_boundary/scalar.py:80-88)
+            kx, ky = ebdyc.kx_dev, ebdyc.ky_dev
+            stack = Cx(jnp.stack([uch.re, -uch.im * kx, -uch.im * ky]),
+                       jnp.stack([uch.im, uch.re * kx, uch.re * ky]))
+            all_iv = ebdyc.interpolate_grid_to_interface_modes(stack)
+            bvs, bxs, bys = all_iv[0], all_iv[1], all_iv[2]
         bvl = ebdyc.v2l(bvs)
         bxl = ebdyc.v2l(bxs)
         byl = ebdyc.v2l(bys)
         # per-boundary annular solves + densities
-        urs, sig_gs, sig_rs = [], [], []
+        urs, sig_gs, sig_rs, stats_list = [], [], [], []
         for h, fr, bv, bx, by in zip(self.helpers, f.radials, bvl, bxl, byl):
-            ur, sg, sr = h.solve_and_densities(fr, bv, bx, by, tol, maxiter,
-                                               restart)
+            ur, sg, sr, st = h.solve_and_densities(fr, bv, bx, by, tol,
+                                                   maxiter, restart)
             urs.append(ur)
             sig_gs.append(sg)
             sig_rs.append(sr)
+            stats_list.append(st)
+        stats = {
+            "annular_iterations": jnp.stack(
+                [s["iterations"] for s in stats_list]),
+            "annular_residuals": jnp.stack(
+                [s["residual"] for s in stats_list]),
+        }
         self.iteration_counts = [h.iterations_last_call for h in self.helpers]
         if verbose:
             print("annular iterations:", self.iteration_counts)
@@ -203,16 +250,13 @@ class ScalarSolver:
             phi = self.grid_eval(sigma_g * self.grid_src_w)
             uc = uc + jnp.where(self.pna_mask_dev, phi, 0.0)
             bus = ebdyc.v2l(self._apply_merged(
-                sigma_g, jnp.asarray(ebdyc.all_interface_x),
-                jnp.asarray(ebdyc.all_interface_y)))
+                sigma_g, ebdyc.all_interface_x_dev, ebdyc.all_interface_y_dev))
         else:
-            tx = jnp.concatenate([jnp.asarray(ebdyc.pna_x),
-                                  jnp.asarray(ebdyc.all_interface_x)])
-            ty = jnp.concatenate([jnp.asarray(ebdyc.pna_y),
-                                  jnp.asarray(ebdyc.all_interface_y)])
+            tx = jnp.concatenate([ebdyc.pna_x_dev, ebdyc.all_interface_x_dev])
+            ty = jnp.concatenate([ebdyc.pna_y_dev, ebdyc.all_interface_y_dev])
             out = self._apply_merged(sigma_g, tx, ty)
             n_pna = ebdyc.pna_x.size
-            uc = uc.ravel().at[jnp.asarray(ebdyc.pna_flat, jnp.int32)]\
+            uc = uc.ravel().at[ebdyc.pna_flat_dev]\
                 .add(out[:n_pna]).reshape(ebdyc.grid.shape)
             bus = ebdyc.v2l(out[n_pna:])
         # per-boundary radial corrections
@@ -222,7 +266,7 @@ class ScalarSolver:
         # merge radial solutions onto the grid, mask physical
         uc = ebdyc.interpolate_radial_to_grid(urs, uc)
         uc = uc * ebdyc.phys_dev
-        return EmbeddedFunction(uc, urs)
+        return EmbeddedFunction(uc, urs), stats
 
     def _apply_merged(self, sigma_g, tx, ty):
         raise NotImplementedError
@@ -266,9 +310,9 @@ class PoissonSolver(ScalarSolver):
         return sq.laplace_slp_naive(src, tx, ty)
 
     def _apply(self, src_curve, density, tx, ty):
+        d = src_curve.dev()
         return kernels.laplace_slp_apply(
-            jnp.asarray(src_curve.x), jnp.asarray(src_curve.y),
-            density * jnp.asarray(src_curve.weights), tx, ty)
+            d["x"], d["y"], density * d["weights"], tx, ty)
 
     def _apply_merged(self, sigma_g, tx, ty):
         return kernels.laplace_slp_apply(self.grid_src_x, self.grid_src_y,
@@ -313,9 +357,9 @@ class ModifiedHelmholtzSolver(ScalarSolver):
         return sq.mh_slp_naive(src, tx, ty, self.k)
 
     def _apply(self, src_curve, density, tx, ty):
+        d = src_curve.dev()
         return kernels.mh_slp_apply(
-            jnp.asarray(src_curve.x), jnp.asarray(src_curve.y),
-            density * jnp.asarray(src_curve.weights), tx, ty, self.k)
+            d["x"], d["y"], density * d["weights"], tx, ty, self.k)
 
     def _apply_merged(self, sigma_g, tx, ty):
         return kernels.mh_slp_apply(self.grid_src_x, self.grid_src_y,

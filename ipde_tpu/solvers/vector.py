@@ -86,6 +86,12 @@ class _StokesHelper:
         self.ty = jnp.asarray(b.tangent_y)
         i = ebdy.interface
         self.ifc_n = (jnp.asarray(i.normal_x), jnp.asarray(i.normal_y))
+        # hoisted device mirrors + warmed caches (planified-jit arguments)
+        self.radial_tx = jnp.asarray(ebdy.radial_x.ravel())
+        self.radial_ty = jnp.asarray(ebdy.radial_y.ravel())
+        self.annular_solver.make_ops(self.metric)
+        self.grid_source.dev()
+        self.radial_source.dev()
         self.iterations_last_call = 0
 
     # -- coordinate conversions (reference: embedded_boundary.py:521-530) ----
@@ -124,7 +130,7 @@ class _StokesHelper:
         bty = btxy * nix + btyy * niy
         fr, ft = self.uv_to_rt(fur, fvr)
         zero = jnp.zeros(ebdy.bdy.N)
-        rr, tr, pr = self.annular_solver.solve(
+        (rr, tr, pr), stats = self.annular_solver.solve_with_stats(
             self.metric, fr, ft, zero, zero, zero, zero, tol=tol,
             maxiter=maxiter, restart=restart)
         self.iterations_last_call = self.annular_solver.iterations_last_call
@@ -137,7 +143,7 @@ class _StokesHelper:
             taud = -taud
         sigma_g = self.qfs_g([taus, taud])
         sigma_r = self.qfs_r([taus, taud])
-        return (ur, vr, pr), sigma_g, sigma_r
+        return (ur, vr, pr), sigma_g, sigma_r, stats
 
     def correct(self, uvp, sigma_g, sigma_r, bu, bv, single: bool):
         ur, vr, pr = uvp
@@ -150,26 +156,34 @@ class _StokesHelper:
             sigma_r_tot = sigma_r + self.qfs_r.u2s(Ub)
         src = self.radial_source
         sN = src.N
+        d = src.dev()
         du, dv, dp = sk.stokes_slp_apply(
-            src.x, src.y,
-            sigma_r_tot[:sN] * jnp.asarray(src.weights),
-            sigma_r_tot[sN:] * jnp.asarray(src.weights),
-            jnp.asarray(self.ebdy.radial_x.ravel()),
-            jnp.asarray(self.ebdy.radial_y.ravel()))
+            d["x"], d["y"],
+            sigma_r_tot[:sN] * d["weights"],
+            sigma_r_tot[sN:] * d["weights"],
+            self.radial_tx, self.radial_ty)
         sh = self.ebdy.radial_shape
         return (ur + du.reshape(sh), vr + dv.reshape(sh),
                 pr + dp.reshape(sh))
 
 
 class StokesSolver:
-    """(u, v, p) = solver(fu, fv) with fu/fv EmbeddedFunctions."""
+    """(u, v, p) = solver(fu, fv) with fu/fv EmbeddedFunctions.
 
-    def __init__(self, ebdyc: EmbeddedBoundaryCollection):
+    grid_backend: 'fft' evaluates the merged sigma_g Stokeslet field on the
+    grid with StokesFreespaceGridEvaluator (O(N^2 log N); replaces the
+    reference's SFMM, ipde/solvers/internals/stokes.py:26-35); 'dense' uses
+    the direct chunked kernel sum (ground truth / small grids).
+    """
+
+    def __init__(self, ebdyc: EmbeddedBoundaryCollection,
+                 grid_backend: str = "fft"):
         self.ebdyc = ebdyc
         if ebdyc.grid is None:
             raise ValueError("collection has no registered grid")
         if ebdyc.bumpy is None:
             ebdyc.ready_bump()
+        self.grid_backend = grid_backend
         self.helpers = [_StokesHelper(self, e) for e in ebdyc]
         gx = np.concatenate([h.grid_source.x for h in self.helpers])
         gy = np.concatenate([h.grid_source.y for h in self.helpers])
@@ -181,11 +195,29 @@ class StokesSolver:
         lap = ebdyc.lap.copy()
         lap[0, 0] = np.inf
         self.ilap = jnp.asarray(1.0 / lap)
+        self.pna_mask_dev = jnp.asarray(ebdyc.phys_not_in_annulus)
+        if grid_backend == "fft":
+            from ipde_tpu.ops.grid_eval import StokesFreespaceGridEvaluator
+            g = ebdyc.grid
+            px = g.xg[ebdyc.phys]
+            py = g.yg[ebdyc.phys]
+            bounds = ((float(px.min()), float(px.max())),
+                      (float(py.min()), float(py.max())))
+            self.grid_eval = StokesFreespaceGridEvaluator(
+                g, gx, gy, target_bounds=bounds)
         self.iteration_counts = []
 
     def __call__(self, fu: EmbeddedFunction, fv: EmbeddedFunction,
                  tol: float = 1e-13, maxiter: int = 200, restart: int = 50,
                  verbose: bool = False):
+        (u, v, p), _ = self.solve_with_stats(fu, fv, tol=tol, maxiter=maxiter,
+                                             restart=restart, verbose=verbose)
+        return u, v, p
+
+    def solve_with_stats(self, fu: EmbeddedFunction, fv: EmbeddedFunction,
+                         tol: float = 1e-13, maxiter: int = 200,
+                         restart: int = 50, verbose: bool = False):
+        """Full Stokes solve, also returning a jit-safe stats pytree."""
         ebdyc = self.ebdyc
         plan = ebdyc.fft_plan
         kx, ky = ebdyc.kx_dev, ebdyc.ky_dev
@@ -221,36 +253,56 @@ class StokesSolver:
         v2l = ebdyc.v2l
         per = zip(self.helpers, fu.radials, fv.radials, v2l(bus), v2l(bvs),
                   v2l(btxxs), v2l(btxys), v2l(btyys))
-        uvps, sig_gs, sig_rs = [], [], []
+        uvps, sig_gs, sig_rs, stats_list = [], [], [], []
         for h, fur, fvr, bu, bv, txx, txy, tyy in per:
-            uvp, sg, sr = h.solve_and_densities(fur, fvr, bu, bv, txx, txy,
-                                                tyy, tol, maxiter, restart)
+            uvp, sg, sr, st = h.solve_and_densities(fur, fvr, bu, bv, txx,
+                                                    txy, tyy, tol, maxiter,
+                                                    restart)
             uvps.append(uvp)
             sig_gs.append(sg)
             sig_rs.append(sr)
+            stats_list.append(st)
+        stats = {
+            "annular_iterations": jnp.stack(
+                [s["iterations"] for s in stats_list]),
+            "annular_residuals": jnp.stack(
+                [s["residual"] for s in stats_list]),
+        }
         self.iteration_counts = [h.iterations_last_call for h in self.helpers]
         if verbose:
             print("annular Stokes iterations:", self.iteration_counts)
         # merged sigma_g evaluation onto pna + interfaces
         wfx = jnp.concatenate([s[:n] for s, n in zip(sig_gs, self.src_Ns)])
         wfy = jnp.concatenate([s[n:] for s, n in zip(sig_gs, self.src_Ns)])
-        tx = jnp.concatenate([jnp.asarray(ebdyc.pna_x),
-                              jnp.asarray(ebdyc.all_interface_x)])
-        ty = jnp.concatenate([jnp.asarray(ebdyc.pna_y),
-                              jnp.asarray(ebdyc.all_interface_y)])
-        gu, gv, gp = sk.stokes_slp_apply(self.grid_src_x, self.grid_src_y,
-                                         wfx * self.grid_src_w,
-                                         wfy * self.grid_src_w, tx, ty)
-        n_pna = ebdyc.pna_x.size
-        pna_idx = jnp.asarray(ebdyc.pna_flat, jnp.int32)
-        shape = ebdyc.grid.shape
-        uc = uc.ravel().at[pna_idx].add(gu[:n_pna]).reshape(shape)
-        vc = vc.ravel().at[pna_idx].add(gv[:n_pna]).reshape(shape)
-        pc = pc.ravel().at[pna_idx].add(gp[:n_pna]).reshape(shape)
-        bul = v2l(gu[n_pna:])
-        bvl = v2l(gv[n_pna:])
-        # grid-side pressure at the interfaces (FFT solution + sigma_g field)
-        bpl = v2l(bps + gp[n_pna:])
+        if self.grid_backend == "fft":
+            gug, gvg, gpg = self.grid_eval(wfx * self.grid_src_w,
+                                           wfy * self.grid_src_w)
+            uc = uc + jnp.where(self.pna_mask_dev, gug, 0.0)
+            vc = vc + jnp.where(self.pna_mask_dev, gvg, 0.0)
+            pc = pc + jnp.where(self.pna_mask_dev, gpg, 0.0)
+            giu, giv, gip = sk.stokes_slp_apply(
+                self.grid_src_x, self.grid_src_y, wfx * self.grid_src_w,
+                wfy * self.grid_src_w, ebdyc.all_interface_x_dev,
+                ebdyc.all_interface_y_dev)
+            bul = v2l(giu)
+            bvl = v2l(giv)
+            bpl = v2l(bps + gip)
+        else:
+            tx = jnp.concatenate([ebdyc.pna_x_dev, ebdyc.all_interface_x_dev])
+            ty = jnp.concatenate([ebdyc.pna_y_dev, ebdyc.all_interface_y_dev])
+            gu, gv, gp = sk.stokes_slp_apply(self.grid_src_x, self.grid_src_y,
+                                             wfx * self.grid_src_w,
+                                             wfy * self.grid_src_w, tx, ty)
+            n_pna = ebdyc.pna_x.size
+            pna_idx = ebdyc.pna_flat_dev
+            shape = ebdyc.grid.shape
+            uc = uc.ravel().at[pna_idx].add(gu[:n_pna]).reshape(shape)
+            vc = vc.ravel().at[pna_idx].add(gv[:n_pna]).reshape(shape)
+            pc = pc.ravel().at[pna_idx].add(gp[:n_pna]).reshape(shape)
+            bul = v2l(gu[n_pna:])
+            bvl = v2l(gv[n_pna:])
+            # grid-side pressure at the interfaces (FFT soln + sigma_g field)
+            bpl = v2l(bps + gp[n_pna:])
         single = len(self.helpers) == 1
         out = [h.correct(uvp, sg, sr, bu, bv, single)
                for h, uvp, sg, sr, bu, bv in
@@ -268,7 +320,7 @@ class StokesSolver:
         vc = ebdyc.interpolate_radial_to_grid(vrs, vc) * ebdyc.phys_dev
         pc = ebdyc.interpolate_radial_to_grid(prs, pc) * ebdyc.phys_dev
         return (EmbeddedFunction(uc, urs), EmbeddedFunction(vc, vrs),
-                EmbeddedFunction(pc, prs))
+                EmbeddedFunction(pc, prs)), stats
 
     def get_boundary_values(self, ue: EmbeddedFunction) -> BoundaryFunction:
         return BoundaryFunction(

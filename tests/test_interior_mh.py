@@ -43,4 +43,8 @@ def test_interior_mh():
     err = abs(ue - ua)
     re = float(np.abs(np.asarray(err.radials[0])).max())
     ge = float(np.asarray(err.grid)[np.asarray(ebdyc.phys)].max())
-    assert max(re, ge) < 1e-10, f"interior MH: err {max(re, ge):.2e}"
+    # 2.5e-10 at nb=800: ~4x better than the reference's ~1e-9 plateau
+    # (examples/interior_modified_helmholtz_using_multi_neumann_bc.py:120-124).
+    # The exact value moved from 1.0e-10 to 1.3e-10 when the curve-resampling
+    # Nyquist bug was fixed (slightly different QFS source curves).
+    assert max(re, ge) < 2.5e-10, f"interior MH: err {max(re, ge):.2e}"
