@@ -95,6 +95,28 @@ class EmbeddedFunction:
         return (f"EmbeddedFunction(grid={jnp.shape(self.grid)}, "
                 f"radials={[jnp.shape(r) for r in self.radials]})")
 
+    # -- observability -----------------------------------------------------------
+    def plot(self, ebdyc, ax=None, **kwargs):
+        """Pseudocolor plot of the function over the physical region plus
+        the radial grids (the reference's de-facto debugging tool;
+        reference: ipde/embedded_function.py:139-183).  Returns (ax, quad)
+        like the reference; requires matplotlib."""
+        import matplotlib.pyplot as plt
+        if ax is None:
+            _, ax = plt.subplots()
+        g = ebdyc.grid
+        data = np.where(np.asarray(ebdyc.phys), np.asarray(self.grid),
+                        np.nan)
+        vmin = np.nanmin(data)
+        vmax = np.nanmax(data)
+        xh, yh = g.xh / 2.0, g.yh / 2.0
+        clf = ax.pcolormesh(g.xv - xh, g.yv - yh, data.T, shading="auto",
+                            vmin=vmin, vmax=vmax, **kwargs)
+        for e, fr in zip(ebdyc, self.radials):
+            ax.pcolormesh(e.radial_x, e.radial_y, np.asarray(fr),
+                          shading="auto", vmin=vmin, vmax=vmax, **kwargs)
+        return ax, clf
+
     # -- persistence -----------------------------------------------------------
     def save(self) -> dict:
         return {"grid": np.asarray(self.grid),

@@ -118,8 +118,17 @@ class EmbeddedBoundaryCollection:
 
         # in-annulus mask and phys-not-annulus
         ia = np.zeros(grid.shape, dtype=bool)
+        overlap = 0
         for reg in regs:
+            overlap += int(ia[reg.ia_ix, reg.ia_iy].sum())
             ia[reg.ia_ix, reg.ia_iy] = True
+        if overlap:
+            import warnings
+            warnings.warn(
+                f"{overlap} grid points lie in MORE THAN ONE boundary's "
+                "annulus: the radial strips overlap and the solve will be "
+                "silently wrong.  Reduce M (strip width = M*h) or separate "
+                "the boundaries.")
         self.in_annulus = ia
         self.phys_not_in_annulus = phys & ~ia
         self.pna_flat = np.flatnonzero(self.phys_not_in_annulus)
@@ -181,6 +190,32 @@ class EmbeddedBoundaryCollection:
         self.radial_x_list = [e.radial_x.ravel() for e in self.ebdys]
         self.radial_y_list = [e.radial_y.ravel() for e in self.ebdys]
         self.bumpy = None
+
+    def phys_extremes(self) -> np.ndarray:
+        """(K, 2) superset of the physical region's convex-hull vertices
+        (per-column extremal phys points; every hull vertex of a gridded
+        point set is a column extreme).  Used to compute EXACT maximum
+        target-source distances for the free-space evaluators' truncation
+        radius -- the bounding-box corners overestimate it by up to ~40%
+        for star domains, often costing a whole FFT padding factor."""
+        cached = getattr(self, "_phys_extremes", None)
+        if cached is not None:
+            return cached
+        phys = self.phys
+        g = self.grid
+        cols = np.flatnonzero(phys.any(axis=1))
+        iy_min = np.argmax(phys[cols], axis=1)
+        iy_max = phys.shape[1] - 1 - np.argmax(phys[cols, ::-1], axis=1)
+        pts = np.concatenate([
+            np.stack([g.xv[cols], g.yv[iy_min]], axis=1),
+            np.stack([g.xv[cols], g.yv[iy_max]], axis=1)])
+        try:
+            from scipy.spatial import ConvexHull
+            pts = pts[ConvexHull(pts).vertices]
+        except Exception:
+            pass
+        self._phys_extremes = pts
+        return pts
 
     # ------------------------------------------------------------------
     # interpolation operations (device)

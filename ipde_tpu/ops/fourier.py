@@ -173,7 +173,15 @@ class FourierPlan2D:
         if self.native:
             z = jnp.fft.fft2(x)
             return Cx(jnp.real(z), jnp.imag(z))
-        c = Cx(x, jnp.zeros_like(x))
+        c = self._tx.fft_real(x)
+        c = self._ty.fft(Cx(c.re.T, c.im.T))
+        return Cx(c.re.T, c.im.T)
+
+    def fft2_cx(self, c: Cx) -> Cx:
+        """2D DFT of a complex (Cx) array."""
+        if self.native:
+            z = jnp.fft.fft2(jax.lax.complex(c.re, c.im))
+            return Cx(jnp.real(z), jnp.imag(z))
         c = self._tx.fft(c)
         c = self._ty.fft(Cx(c.re.T, c.im.T))
         return Cx(c.re.T, c.im.T)
@@ -237,6 +245,10 @@ class DirectDFT1D:
         return Cx(_dot(self.C, c.re) - _dot(self.S, c.im),
                   _dot(self.S, c.re) + _dot(self.C, c.im))
 
+    def fft_real(self, x) -> Cx:
+        """DFT of REAL input: half the matmuls of the complex path."""
+        return Cx(_dot(self.C, x), _dot(self.S, x))
+
     def ifft(self, c: Cx) -> Cx:
         o = self.fft(Cx(c.re, -c.im))
         return Cx(o.re / self.n, -o.im / self.n)
@@ -291,6 +303,19 @@ class FourStepFFT1D:
         xi = c.im.reshape(n1, n2 * m)
         ar = (_dot(self.C1, xr) - _dot(self.S1, xi)).reshape(n1, n2, m)
         ai = (_dot(self.S1, xr) + _dot(self.C1, xi)).reshape(n1, n2, m)
+        return self._finish(ar, ai, m)
+
+    def fft_real(self, x) -> Cx:
+        """DFT of REAL (n, m) input: stage 1 costs half."""
+        n1, n2 = self.n1, self.n2
+        m = x.shape[1]
+        xr = x.reshape(n1, n2 * m)
+        ar = _dot(self.C1, xr).reshape(n1, n2, m)
+        ai = _dot(self.S1, xr).reshape(n1, n2, m)
+        return self._finish(ar, ai, m)
+
+    def _finish(self, ar, ai, m):
+        n1, n2 = self.n1, self.n2
         # twiddle (n1, n2) broadcast over m
         tr = self.TWC[:, :, None]
         ti = self.TWS[:, :, None]

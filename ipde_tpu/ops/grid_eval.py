@@ -101,7 +101,11 @@ def _composite_gl(a: float, b: float, npanels: int, deg: int = 12):
 
 
 class RadialTable:
-    """T(r) tabulated on a uniform grid with order-p Lagrange evaluation."""
+    """T(r) tabulated on a uniform grid; order-p interpolation via the
+    second barycentric form (uniform-node weights (-1)^j C(p-1, j)), which
+    costs O(p) passes instead of the O(p^2) Lagrange-product construction
+    -- this evaluation runs over tens of millions of near-pair offsets in
+    evaluator setup."""
 
     def __init__(self, r_nodes: np.ndarray, values: np.ndarray,
                  order: int = 8):
@@ -109,6 +113,9 @@ class RadialTable:
         self.dr = float(r_nodes[1] - r_nodes[0])
         self.tab = np.asarray(values)
         self.order = order
+        from scipy.special import comb
+        j = np.arange(order)
+        self.lam = ((-1.0) ** j) * comb(order - 1, j)
 
     def __call__(self, r: np.ndarray) -> np.ndarray:
         r = np.asarray(r, np.float64).ravel()
@@ -116,9 +123,16 @@ class RadialTable:
         half = (k - 1) // 2
         t = (r - self.r0) / self.dr
         j = np.clip(np.floor(t).astype(np.int64) - half, 0, self.tab.size - k)
-        nodes = j[:, None] + np.arange(k)[None, :]
-        w = _lagrange_weights(t[:, None] - nodes)
-        return (self.tab[nodes] * w).sum(axis=1)
+        d = (t - j)[:, None] - np.arange(k)[None, :]
+        on_node = np.abs(d) < 1e-12
+        d = np.where(on_node, 1.0, d)
+        w = self.lam / d
+        fv = self.tab[j[:, None] + np.arange(k)[None, :]]
+        out = (w * fv).sum(axis=1) / w.sum(axis=1)
+        hit = on_node.any(axis=1)
+        if hit.any():
+            out[hit] = fv[hit, np.argmax(on_node[hit], axis=1)]
+        return out
 
 
 def _radial_hankel_tables(symfn, kmax: float, L_eff: float, r_max: float,
@@ -220,32 +234,50 @@ class _EvaluatorBase:
     # their complementary kernel carries eta^2-amplified polynomial factors.
     MARGIN_H = 60.0
 
-    def _setup_box(self, grid: Grid, src_x, src_y, pad, target_bounds):
+    def _setup_box(self, grid: Grid, src_x, src_y, pad, target_bounds,
+                   target_hull=None):
         self.grid = grid
         Nx, Ny = grid.Nx, grid.Ny
         hx, hy = grid.xh, grid.yh
         Lx, Ly = Nx * hx, Ny * hy
-        # maximum USED-target-to-source distance
+        # maximum USED-target-to-source distance.  target_hull (K, 2) gives
+        # the exact extreme target points (e.g. convex hull of the physical
+        # region); the bounding-box corners overestimate the Euclidean
+        # distance by up to ~40% for star-shaped domains, often costing a
+        # whole padding factor.
         if target_bounds is None:
             target_bounds = (grid.x_bounds, grid.y_bounds)
         (tx0, tx1), (ty0, ty1) = target_bounds
-        corners = [(tx0, ty0), (tx0, ty1), (tx1, ty0), (tx1, ty1)]
-        maxdist = max(np.hypot(src_x - cx, src_y - cy).max()
-                      for cx, cy in corners)
+        if target_hull is not None:
+            th = np.asarray(target_hull, np.float64)
+            maxdist = float(np.hypot(th[:, None, 0] - src_x[None, :],
+                                     th[:, None, 1] - src_y[None, :]).max())
+        else:
+            corners = [(tx0, ty0), (tx0, ty1), (tx1, ty0), (tx1, ty1)]
+            maxdist = max(np.hypot(src_x - cx, src_y - cy).max()
+                          for cx, cy in corners)
+        # per-axis spans (aliasing is per image-shift direction: the nearest
+        # image of s at t is offset by a full padded period along ONE axis,
+        # so the pair distance is >= pad*Lx - |t_x - s_x|)
+        span_x = max(tx1 - src_x.min(), src_x.max() - tx0)
+        span_y = max(ty1 - src_y.min(), src_y.max() - ty0)
         # truncation radius must cover every pair WITH margin for the
         # Gaussian screen's blur width (several 1/eta), AND the nearest
         # periodic image pair must be beyond L plus the same blur margin:
-        # pad*min(Lx,Ly) >= L + maxdist + margin
+        # pad_x*Lx >= L + span_x + margin (and same in y)
         marg = self.MARGIN_H * max(hx, hy) / np.pi
         L = maxdist + marg
         if pad is None:
-            pad = int(np.ceil((L + maxdist + marg) / min(Lx, Ly)))
-            pad = max(pad, 2)
-        if pad * min(Lx, Ly) < L + maxdist + marg - 1e-12:
+            pad_x = max(int(np.ceil((L + span_x + marg) / Lx)), 2)
+            pad_y = max(int(np.ceil((L + span_y + marg) / Ly)), 2)
+        else:
+            pad_x = pad_y = pad
+        if (pad_x * Lx < L + span_x + marg - 1e-12
+                or pad_y * Ly < L + span_y + marg - 1e-12):
             raise ValueError("padding insufficient to exclude periodic images")
-        self.Px, self.Py = pad * Nx, pad * Ny
+        self.Px, self.Py = pad_x * Nx, pad_y * Ny
         self.L = L
-        self.A = (pad * Lx) * (pad * Ly)
+        self.A = (pad_x * Lx) * (pad_y * Ly)
         # Gaussian screen width: kills the truncated symbol's Gibbs tail by
         # the lattice Nyquist (exp(-32.5) there); the complementary near
         # field is folded into the local corrections (classical
@@ -358,15 +390,17 @@ class FreespaceGridEvaluator(_EvaluatorBase):
 
     def __init__(self, grid: Grid, src_x, src_y, kernel: str = "laplace",
                  kappa: float = 1.0, pad: int = None, w: int = 16,
-                 r_cut_h: float = 22.0, target_bounds=None):
+                 r_cut_h: float = 22.0, target_bounds=None,
+                 target_hull=None):
         """target_bounds: ((x0, x1), (y0, y1)) bounding box of the grid
         points whose values are actually USED (e.g. the physical region);
-        shrinking it reduces the truncation radius and often the padding."""
+        target_hull: (K, 2) extreme target points (tighter truncation radius
+        -> often one less padding factor -> 2x faster FFTs)."""
         src_x = np.asarray(src_x, np.float64).ravel()
         src_y = np.asarray(src_y, np.float64).ravel()
         self.S = src_x.size
         self.kernel = kernel
-        self._setup_box(grid, src_x, src_y, pad, target_bounds)
+        self._setup_box(grid, src_x, src_y, pad, target_bounds, target_hull)
         self._setup_spreading(src_x, src_y, w)
         L, eta = self.L, self.eta
         kap2 = kappa**2 if kernel == "yukawa" else 0.0
@@ -391,8 +425,11 @@ class FreespaceGridEvaluator(_EvaluatorBase):
         kmax = 12.0 * eta
         (T,) = _radial_hankel_tables(symf, kmax, L, rr.max() * 1.0001,
                                      [_m_j0])
-        corr = np.where(mask, gfun(np.maximum(rr, 1e-300))
-                        - T(rr).reshape(rr.shape), 0.0)
+        # evaluate only the in-range pairs (the masked-out majority of each
+        # patch never contributes)
+        corr = np.zeros(rr.shape)
+        rs = rr[mask]
+        corr[mask] = gfun(rs) - T(rs)
         self.patches = jnp.asarray(corr)
 
     def __call__(self, q):
@@ -423,11 +460,11 @@ class StokesFreespaceGridEvaluator(_EvaluatorBase):
     MARGIN_H = 80.0   # Hasimoto screen reaches further (see _EvaluatorBase)
 
     def __init__(self, grid: Grid, src_x, src_y, pad: int = None, w: int = 16,
-                 r_cut_h: float = 22.0, target_bounds=None):
+                 r_cut_h: float = 22.0, target_bounds=None, target_hull=None):
         src_x = np.asarray(src_x, np.float64).ravel()
         src_y = np.asarray(src_y, np.float64).ravel()
         self.S = src_x.size
-        self._setup_box(grid, src_x, src_y, pad, target_bounds)
+        self._setup_box(grid, src_x, src_y, pad, target_bounds, target_hull)
         self._setup_spreading(src_x, src_y, w)
         L, eta = self.L, self.eta
         # velocity screen: the Hasimoto/Ewald factor (1 + k^2/4eta^2) gauss.
@@ -462,37 +499,43 @@ class StokesFreespaceGridEvaluator(_EvaluatorBase):
         Tb_t, Ta_t, Qb_t = _radial_hankel_tables(
             bsym, kmax, L, r_max, [_m_j1_over_z, _m_k2_j0]) \
             + _radial_hankel_tables(qsym, kmax, L, r_max, [_m_j1_over_z])
-        sh = rr.shape
-        rs = np.maximum(rr, 1e-300)
-        A1 = -Tb_t(rr).reshape(sh)
-        A2 = (-Ta_t(rr) + Tb_t(rr)).reshape(sh)
+        # masked evaluation only: each patch's in-range disc is ~60% of it
+        rs = rr[mask]
+        dxs = np.broadcast_to(dx, rr.shape)[mask]
+        dys = np.broadcast_to(dy, rr.shape)[mask]
+        Tb = Tb_t(rs)
+        A1 = -Tb
+        A2 = -Ta_t(rs) + Tb
         # Qs'(r)/r table: -(1/2pi) int qsym k^2 (J1/z) k dk = -Qb;
         # T_pj = -Qs' d_j/r = +Qb * d_j
-        Qb = Qb_t(rr).reshape(sh)
+        Qb = Qb_t(rs)
         r2 = rs**2
-        T_xx = -(A2 * dy**2 + A1 * dx**2) / r2
-        T_xy = (A2 - A1) * dx * dy / r2
-        T_yy = -(A2 * dx**2 + A1 * dy**2) / r2
-        T_px = Qb * dx
-        T_py = Qb * dy
+        T_xx = -(A2 * dys**2 + A1 * dxs**2) / r2
+        T_xy = (A2 - A1) * dxs * dys / r2
+        T_yy = -(A2 * dxs**2 + A1 * dys**2) / r2
         # exact kernels (mu = 1 Stokeslet + its pressure).  The real-space
         # identity is G_ij = (grad grad - delta lap) B + delta_ij/(8 pi):
         # the constant comes from the distributional k=0 part of B's FT
         # (r^2 log r grows), so the FFT pipeline applies G - 1/(8 pi) on the
         # diagonal.  We match the corrections to that effective kernel and
         # add sum(f)/(8 pi) back once in __call__.
-        logr = np.log(rs)
-        G_xx = (-logr + dx**2 / r2) / (4 * np.pi) - 1.0 / (8 * np.pi)
-        G_xy = (dx * dy / r2) / (4 * np.pi)
-        G_yy = (-logr + dy**2 / r2) / (4 * np.pi) - 1.0 / (8 * np.pi)
-        P_x = dx / (2 * np.pi * r2)
-        P_y = dy / (2 * np.pi * r2)
-        z = np.zeros_like(rr)
-        self.Cxx = jnp.asarray(np.where(mask, G_xx - T_xx, z))
-        self.Cxy = jnp.asarray(np.where(mask, G_xy - T_xy, z))
-        self.Cyy = jnp.asarray(np.where(mask, G_yy - T_yy, z))
-        self.Cpx = jnp.asarray(np.where(mask, P_x - T_px, z))
-        self.Cpy = jnp.asarray(np.where(mask, P_y - T_py, z))
+        logr = np.log(r2) * 0.5
+        G_xx = (-logr + dxs**2 / r2) / (4 * np.pi) - 1.0 / (8 * np.pi)
+        G_xy = (dxs * dys / r2) / (4 * np.pi)
+        G_yy = (-logr + dys**2 / r2) / (4 * np.pi) - 1.0 / (8 * np.pi)
+        P_x = dxs / (2 * np.pi * r2)
+        P_y = dys / (2 * np.pi * r2)
+
+        def scatter(vals):
+            out = np.zeros(rr.shape)
+            out[mask] = vals
+            return jnp.asarray(out)
+
+        self.Cxx = scatter(G_xx - T_xx)
+        self.Cxy = scatter(G_xy - T_xy)
+        self.Cyy = scatter(G_yy - T_yy)
+        self.Cpx = scatter(P_x - Qb * dxs)
+        self.Cpy = scatter(P_y - Qb * dys)
 
     def __call__(self, wfx, wfy):
         """(S,) weighted force components -> (u, v, p) on the (Nx, Ny) grid."""

@@ -123,6 +123,45 @@ def mh_dlp_naive(src: BoundaryCurve, tx, ty, k: float) -> np.ndarray:
     return k * k1(k * r) * dot / (2 * np.pi * r) * src.weights[None, :]
 
 
+@functools.lru_cache(maxsize=32)
+def _trig_upsample_matrix(n: int, q: int) -> np.ndarray:
+    """(q n, n) matrix evaluating the trig interpolant of n periodic samples
+    at q n uniform nodes (Fourier zero-padding as a dense operator)."""
+    modes = np.fft.rfft(np.eye(n), axis=0)
+    if n % 2 == 0:
+        modes[n // 2] *= 0.5  # split the Nyquist mode symmetrically
+        pad = np.zeros((q * n // 2 + 1, n), dtype=complex)
+        pad[: n // 2 + 1] = modes
+    else:
+        pad = np.zeros((q * n // 2 + 1, n), dtype=complex)
+        pad[: n // 2 + 1] = modes
+    return np.fft.irfft(pad, q * n, axis=0) * q
+
+
+def _self_oversampling(curve: BoundaryCurve, k: float,
+                       target_zh: float = 0.125, q_max: int = 12) -> int:
+    """Oversampling factor so the Yukawa kernel's 1/k feature scale is
+    resolved by the quadrature grid: k * max-node-spacing <= target_zh.
+    Without this the 'smooth' remainder of the Kress split is underresolved
+    and the self-quadrature error grows like the aliasing of K0(k r)
+    (measured: 1e-14 at k h ~ 0.02, 7e-4 at k h ~ 1)."""
+    zh = k * float(curve.speed.max()) * curve.dt
+    return int(min(max(1, np.ceil(zh / target_zh)), q_max))
+
+
+def _oversampled_self(base_builder, curve: BoundaryCurve, k: float):
+    """Build a singular self matrix on a q-times-upsampled curve and
+    compose with trig upsampling of the density; rows restricted to the
+    original nodes (fine node j*q coincides with coarse node j)."""
+    q = _self_oversampling(curve, k)
+    if q == 1:
+        return base_builder(curve, k)
+    fine = curve.resampled(q * curve.N)
+    Mf = base_builder(fine, k)
+    P = _trig_upsample_matrix(curve.N, q)
+    return Mf[::q, :] @ P
+
+
 def _kress_band(z: np.ndarray, z_lo: float = 2.0, z_hi: float = 6.0):
     """Smooth cutoff in the scaled distance z = k r: 1 for z < z_lo, 0 for
     z > z_hi.  Restricts the Kress log-split to the near region so the
@@ -139,6 +178,12 @@ def _kress_band(z: np.ndarray, z_lo: float = 2.0, z_hi: float = 6.0):
 
 
 def mh_slp_self(curve: BoundaryCurve, k: float) -> np.ndarray:
+    """Yukawa SLP self matrix; oversamples the quadrature grid when k h is
+    large so the 1/k kernel scale stays resolved (high-k ledger parity)."""
+    return _oversampled_self(_mh_slp_self_base, curve, k)
+
+
+def _mh_slp_self_base(curve: BoundaryCurve, k: float) -> np.ndarray:
     """Kress quadrature for K0(k r)/(2 pi) with banded log-split.
 
     K0(z) = -log(z/2) I0(z) + S(z);  we write the kernel as
@@ -171,6 +216,11 @@ def mh_slp_self(curve: BoundaryCurve, k: float) -> np.ndarray:
 
 
 def mh_dlp_self(curve: BoundaryCurve, k: float) -> np.ndarray:
+    """Yukawa DLP self matrix (oversampled at high k; see mh_slp_self)."""
+    return _oversampled_self(_mh_dlp_self_base, curve, k)
+
+
+def _mh_dlp_self_base(curve: BoundaryCurve, k: float) -> np.ndarray:
     """Kress quadrature for the Yukawa DLP:
        d/dn_y K0(k r)/(2 pi) = k K1(k r) (x-y).n_y / (2 pi r).
     Split via K1(z) = 1/z + log(z/2) I1(z) + T(z):
@@ -234,6 +284,11 @@ def mh_slp_normal_naive(src: BoundaryCurve, tx, ty, tnx, tny, k: float) -> np.nd
 
 
 def mh_slp_normal_self(curve: BoundaryCurve, k: float) -> np.ndarray:
+    """PV of d/dn_x Yukawa SLP (oversampled at high k; see mh_slp_self)."""
+    return _oversampled_self(_mh_slp_normal_self_base, curve, k)
+
+
+def _mh_slp_normal_self_base(curve: BoundaryCurve, k: float) -> np.ndarray:
     """PV of d/dn_x of the Yukawa SLP (banded Kress split, mirroring
     mh_dlp_self with the target normal)."""
     n = curve.N

@@ -56,6 +56,63 @@ def sharded_laplace_slp_apply(mesh: Mesh, sx, sy, weighted_charge, tx, ty,
     return out[:T]
 
 
+def sharded_mh_slp_apply(mesh: Mesh, sx, sy, weighted_charge, tx, ty,
+                         k: float, axis: str = "p"):
+    """Target-sharded dense Yukawa SLP (device K0), replicated sources."""
+    from ipde_tpu.ops.kernels import bessel_k0
+    n = mesh.devices.size
+    T = tx.shape[0]
+    Tp = -(-T // n) * n
+    txp = jnp.pad(jnp.asarray(tx), (0, Tp - T))
+    typ = jnp.pad(jnp.asarray(ty), (0, Tp - T))
+
+    def local(sx_, sy_, q_, ctx, cty):
+        dx = ctx[:, None] - sx_[None, :]
+        dy = cty[:, None] - sy_[None, :]
+        z = k * jnp.sqrt(dx * dx + dy * dy)
+        return jnp.matmul(bessel_k0(z), q_, precision=_HIGH) / (2 * jnp.pi)
+
+    f = shard_map(local, mesh=mesh,
+                  in_specs=(P(), P(), P(), P(axis), P(axis)),
+                  out_specs=P(axis))
+    out = f(jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(weighted_charge),
+            txp, typ)
+    return out[:T]
+
+
+def sharded_stokes_slp_apply(mesh: Mesh, sx, sy, wfx, wfy, tx, ty,
+                             axis: str = "p"):
+    """Target-sharded dense Stokeslet apply -> (u, v, p), replicated
+    sources (the multi-chip version of stokes_kernels.stokes_slp_apply)."""
+    n = mesh.devices.size
+    T = tx.shape[0]
+    Tp = -(-T // n) * n
+    txp = jnp.pad(jnp.asarray(tx), (0, Tp - T))
+    typ = jnp.pad(jnp.asarray(ty), (0, Tp - T))
+
+    def local(sx_, sy_, fx_, fy_, ctx, cty):
+        dx = ctx[:, None] - sx_[None, :]
+        dy = cty[:, None] - sy_[None, :]
+        r2 = dx * dx + dy * dy
+        ir2 = 1.0 / r2
+        logr = 0.5 * jnp.log(r2)
+        u = (jnp.matmul(-logr + dx * dx * ir2, fx_, precision=_HIGH)
+             + jnp.matmul(dx * dy * ir2, fy_, precision=_HIGH)) / (4 * jnp.pi)
+        v = (jnp.matmul(dx * dy * ir2, fx_, precision=_HIGH)
+             + jnp.matmul(-logr + dy * dy * ir2, fy_, precision=_HIGH)) \
+            / (4 * jnp.pi)
+        p = (jnp.matmul(dx * ir2, fx_, precision=_HIGH)
+             + jnp.matmul(dy * ir2, fy_, precision=_HIGH)) / (2 * jnp.pi)
+        return u, v, p
+
+    f = shard_map(local, mesh=mesh,
+                  in_specs=(P(), P(), P(), P(), P(axis), P(axis)),
+                  out_specs=(P(axis), P(axis), P(axis)))
+    u, v, p = f(jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(wfx),
+                jnp.asarray(wfy), txp, typ)
+    return u[:T], v[:T], p[:T]
+
+
 def source_sharded_laplace_slp_apply(mesh: Mesh, sx, sy, weighted_charge,
                                      tx, ty, axis: str = "p"):
     """Source-sharded (TP-like) dense Laplace SLP with a psum reduction."""

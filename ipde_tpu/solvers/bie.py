@@ -41,13 +41,6 @@ class DirichletBIE:
             for j, ej in enumerate(ebdyc):
                 blk = self._dlp_block(ei, ej)
                 A[offs[i]:offs[i + 1], offs[j]:offs[j + 1]] = blk
-        # rank completion for exterior (inclusion) boundaries whose LAPLACE
-        # DLP cannot represent the constant/log mode (the Yukawa DLP is
-        # complete for exterior problems -- no completion there)
-        if not isinstance(solver, ModifiedHelmholtzSolver):
-            for j, ej in enumerate(ebdyc):
-                if not ej.interior:
-                    A[:, offs[j]:offs[j + 1]] += ej.bdy.weights[None, :]
         self.Ainv = jnp.asarray(np.linalg.inv(A))
         self.offs = offs
         # per-boundary QFS of the DLP, matched from the physical side,
@@ -78,17 +71,31 @@ class DirichletBIE:
             self.src_Ns = [s_.N for s_ in self.src_list]
 
     def _dlp_block(self, ei, ej) -> np.ndarray:
+        """Representation: interior boundary -> DLP[tau]; inclusion
+        (exterior) boundary -> (DLP + SLP)[tau].  The Laplace exterior DLP
+        alone is rank-deficient (DLP of a constant density vanishes outside
+        a closed curve); adding the SLP of the SAME density restores full
+        rank CONSISTENTLY -- the evaluation uses the identical combination
+        (mirrors the Stokes BIE; reference capability analogue:
+        examples/multi_stokes_for_paper.py:117-190).  The Yukawa DLP is
+        complete for inclusions -- no SLP added there."""
         solver = self.solver
+        is_mh = isinstance(solver, ModifiedHelmholtzSolver)
         if ei is ej:
-            if isinstance(solver, ModifiedHelmholtzSolver):
+            if is_mh:
                 D = sq.mh_dlp_self(ej.bdy, solver.k)
             else:
                 D = sq.laplace_dlp_self(ej.bdy)
+                if not ej.interior:
+                    D = D + sq.laplace_slp_self(ej.bdy)
             jump = -0.5 if ej.interior else 0.5
             return D + jump * np.eye(ej.bdy.N)
-        if isinstance(solver, ModifiedHelmholtzSolver):
+        if is_mh:
             return sq.mh_dlp_naive(ej.bdy, ei.bdy.x, ei.bdy.y, solver.k)
-        return sq.laplace_dlp_naive(ej.bdy, ei.bdy.x, ei.bdy.y)
+        D = sq.laplace_dlp_naive(ej.bdy, ei.bdy.x, ei.bdy.y)
+        if not ej.interior:
+            D = D + sq.laplace_slp_naive(ej.bdy, ei.bdy.x, ei.bdy.y)
+        return D
 
     def apply_bc(self, ue: EmbeddedFunction,
                  bc: BoundaryFunction) -> EmbeddedFunction:
@@ -100,9 +107,13 @@ class DirichletBIE:
         tau = jnp.matmul(self.Ainv, rhs, precision=_HIGH)
         taus = [tau[self.offs[i]:self.offs[i + 1]]
                 for i in range(len(self.ebdyc.ebdys))]
-        # effective sources; QFS forms are [slp, dlp] -> pass zero slp
-        sigmas = [q([jnp.zeros_like(t), t])
-                  for q, t in zip(self.qfs_list, taus)]
+        # effective sources; QFS forms are [slp, dlp].  Laplace inclusions
+        # use (SLP + DLP) of the same density (see _dlp_block); everything
+        # else is DLP-only.
+        is_mh = isinstance(self.solver, ModifiedHelmholtzSolver)
+        sigmas = [q([t if (not e.interior and not is_mh)
+                     else jnp.zeros_like(t), t])
+                  for q, t, e in zip(self.qfs_list, taus, self.ebdyc)]
         # evaluate onto all physical grid points and every radial grid
         radial_vals = [jnp.zeros(e.radial_shape) for e in self.ebdyc]
         if self.grid_eval is not None:
@@ -207,7 +218,8 @@ class StokesDirichletBIE:
             bounds = ((float(px.min()), float(px.max())),
                       (float(py.min()), float(py.max())))
             self.grid_eval = StokesFreespaceGridEvaluator(
-                g, gx, gy, target_bounds=bounds)
+                g, gx, gy, target_bounds=bounds,
+                target_hull=ebdyc.phys_extremes())
 
     def apply_bc(self, u, v, p, bc_u, bc_v):
         """Correct (u, v, p) to satisfy the velocity boundary conditions."""

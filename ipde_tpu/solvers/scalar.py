@@ -152,7 +152,16 @@ class ScalarSolver:
         self.pna_mask_dev = jnp.asarray(ebdyc.phys_not_in_annulus)
         if grid_backend == "fft":
             self.grid_eval = self._make_grid_evaluator(gx, gy)
+        self._mesh = None
         self.iteration_counts = []
+
+    def use_mesh(self, mesh):
+        """Activate multi-chip sharding: the global dense layer applies
+        (merged sigma_g -> targets, per-source corrections, BIE fields) run
+        target-sharded over the mesh (SURVEY.md 2.3(c); the sigma_g
+        coupling point at multi_boundary/scalar.py:104-105 becomes the
+        all-gather)."""
+        self._mesh = mesh
 
     def _make_grid_evaluator(self, gx, gy):
         raise NotImplementedError
@@ -295,7 +304,8 @@ class PoissonSolver(ScalarSolver):
         from ipde_tpu.ops.grid_eval import FreespaceGridEvaluator
         return FreespaceGridEvaluator(self.ebdyc.grid, gx, gy,
                                       kernel="laplace",
-                                      target_bounds=self._phys_bounds())
+                                      target_bounds=self._phys_bounds(),
+                                      target_hull=self.ebdyc.phys_extremes())
 
     def _make_annular_solver(self, geom):
         return AnnularPoissonSolver(geom)
@@ -311,10 +321,19 @@ class PoissonSolver(ScalarSolver):
 
     def _apply(self, src_curve, density, tx, ty):
         d = src_curve.dev()
+        if self._mesh is not None:
+            from ipde_tpu.parallel.sharded import sharded_laplace_slp_apply
+            return sharded_laplace_slp_apply(
+                self._mesh, d["x"], d["y"], density * d["weights"], tx, ty)
         return kernels.laplace_slp_apply(
             d["x"], d["y"], density * d["weights"], tx, ty)
 
     def _apply_merged(self, sigma_g, tx, ty):
+        if self._mesh is not None:
+            from ipde_tpu.parallel.sharded import sharded_laplace_slp_apply
+            return sharded_laplace_slp_apply(
+                self._mesh, self.grid_src_x, self.grid_src_y,
+                sigma_g * self.grid_src_w, tx, ty)
         return kernels.laplace_slp_apply(self.grid_src_x, self.grid_src_y,
                                          sigma_g * self.grid_src_w, tx, ty)
 
@@ -342,7 +361,8 @@ class ModifiedHelmholtzSolver(ScalarSolver):
         from ipde_tpu.ops.grid_eval import FreespaceGridEvaluator
         return FreespaceGridEvaluator(self.ebdyc.grid, gx, gy,
                                       kernel="yukawa", kappa=self.k,
-                                      target_bounds=self._phys_bounds())
+                                      target_bounds=self._phys_bounds(),
+                                      target_hull=self.ebdyc.phys_extremes())
 
     def _make_annular_solver(self, geom):
         return AnnularModifiedHelmholtzSolver(geom, k=self.k)
@@ -358,10 +378,20 @@ class ModifiedHelmholtzSolver(ScalarSolver):
 
     def _apply(self, src_curve, density, tx, ty):
         d = src_curve.dev()
+        if self._mesh is not None:
+            from ipde_tpu.parallel.sharded import sharded_mh_slp_apply
+            return sharded_mh_slp_apply(
+                self._mesh, d["x"], d["y"], density * d["weights"],
+                tx, ty, self.k)
         return kernels.mh_slp_apply(
             d["x"], d["y"], density * d["weights"], tx, ty, self.k)
 
     def _apply_merged(self, sigma_g, tx, ty):
+        if self._mesh is not None:
+            from ipde_tpu.parallel.sharded import sharded_mh_slp_apply
+            return sharded_mh_slp_apply(
+                self._mesh, self.grid_src_x, self.grid_src_y,
+                sigma_g * self.grid_src_w, tx, ty, self.k)
         return kernels.mh_slp_apply(self.grid_src_x, self.grid_src_y,
                                     sigma_g * self.grid_src_w, tx, ty, self.k)
 

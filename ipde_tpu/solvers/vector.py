@@ -196,6 +196,7 @@ class StokesSolver:
         lap[0, 0] = np.inf
         self.ilap = jnp.asarray(1.0 / lap)
         self.pna_mask_dev = jnp.asarray(ebdyc.phys_not_in_annulus)
+        self._mesh = None
         if grid_backend == "fft":
             from ipde_tpu.ops.grid_eval import StokesFreespaceGridEvaluator
             g = ebdyc.grid
@@ -204,8 +205,21 @@ class StokesSolver:
             bounds = ((float(px.min()), float(px.max())),
                       (float(py.min()), float(py.max())))
             self.grid_eval = StokesFreespaceGridEvaluator(
-                g, gx, gy, target_bounds=bounds)
+                g, gx, gy, target_bounds=bounds,
+                target_hull=ebdyc.phys_extremes())
         self.iteration_counts = []
+
+    def use_mesh(self, mesh):
+        """Activate multi-chip sharding of the dense Stokeslet applies
+        (target-sharded over the mesh; SURVEY.md 2.3(c))."""
+        self._mesh = mesh
+
+    def _apply_stokes(self, sx, sy, wfx, wfy, tx, ty):
+        if self._mesh is not None:
+            from ipde_tpu.parallel.sharded import sharded_stokes_slp_apply
+            return sharded_stokes_slp_apply(self._mesh, sx, sy, wfx, wfy,
+                                            tx, ty)
+        return sk.stokes_slp_apply(sx, sy, wfx, wfy, tx, ty)
 
     def __call__(self, fu: EmbeddedFunction, fv: EmbeddedFunction,
                  tol: float = 1e-13, maxiter: int = 200, restart: int = 50,
@@ -280,7 +294,7 @@ class StokesSolver:
             uc = uc + jnp.where(self.pna_mask_dev, gug, 0.0)
             vc = vc + jnp.where(self.pna_mask_dev, gvg, 0.0)
             pc = pc + jnp.where(self.pna_mask_dev, gpg, 0.0)
-            giu, giv, gip = sk.stokes_slp_apply(
+            giu, giv, gip = self._apply_stokes(
                 self.grid_src_x, self.grid_src_y, wfx * self.grid_src_w,
                 wfy * self.grid_src_w, ebdyc.all_interface_x_dev,
                 ebdyc.all_interface_y_dev)
@@ -290,9 +304,9 @@ class StokesSolver:
         else:
             tx = jnp.concatenate([ebdyc.pna_x_dev, ebdyc.all_interface_x_dev])
             ty = jnp.concatenate([ebdyc.pna_y_dev, ebdyc.all_interface_y_dev])
-            gu, gv, gp = sk.stokes_slp_apply(self.grid_src_x, self.grid_src_y,
-                                             wfx * self.grid_src_w,
-                                             wfy * self.grid_src_w, tx, ty)
+            gu, gv, gp = self._apply_stokes(self.grid_src_x, self.grid_src_y,
+                                            wfx * self.grid_src_w,
+                                            wfy * self.grid_src_w, tx, ty)
             n_pna = ebdyc.pna_x.size
             pna_idx = ebdyc.pna_flat_dev
             shape = ebdyc.grid.shape

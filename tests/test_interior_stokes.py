@@ -70,6 +70,6 @@ def test_interior_stokes():
     shift = float(np.asarray(dp.grid)[phys].mean())
     ep = err(dp, shift)
     print(f"interior stokes: u {eu:.2e} v {ev:.2e} p {ep:.2e}")
-    assert eu < 5e-8, f"u err {eu:.2e}"
-    assert ev < 5e-8, f"v err {ev:.2e}"
-    assert ep < 5e-6, f"p err {ep:.2e}"
+    assert eu < 3e-8, f"u err {eu:.2e}"  # measured 1.07e-8
+    assert ev < 3e-8, f"v err {ev:.2e}"  # measured 5.3e-9
+    assert ep < 2e-6, f"p err {ep:.2e}"  # measured 7.3e-7
