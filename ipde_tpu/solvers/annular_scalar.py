@@ -95,6 +95,41 @@ def _solve_jit(ops: AnnularOps, rhs_flat: jax.Array, M: int, n: int,
     return res.x.reshape(M, n), res.iterations, res.residual
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _solve_jit_batched(ops_stacked: AnnularOps, rhs_stacked: jax.Array,
+                       M: int, n: int, maxiter: int, restart: int,
+                       tol: jax.Array):
+    """vmapped GMRES over the BOUNDARY axis: one dispatch for B same-shape
+    annular solves (SURVEY.md 2.3(b): the per-mode/boundary axes are
+    embarrassingly batched).  ops leaves carry a leading B axis."""
+
+    def one(ops, rhs):
+        mv = lambda v: _matvec(ops, v, M, n)
+        pc = lambda v: _precond(ops, v, M, n)
+        res = gmres(mv, rhs, precond=pc, tol=tol, maxiter=maxiter,
+                    restart=restart)
+        return res.x.reshape(M, n), res.iterations, res.residual
+
+    return jax.vmap(one)(ops_stacked, rhs_stacked)
+
+
+def batched_annular_solve(solvers, metrics, rhss, tol, maxiter, restart):
+    """Solve B same-shape annular problems in ONE device dispatch.
+
+    solvers/metrics are per-boundary; rhss is a list of (M, n) right-hand
+    sides ALREADY in residual layout (R02 @ f rows + BC rows).  Returns
+    (list of (M, n) solutions, stats dict with per-boundary iterations).
+    """
+    ops_list = [s.make_ops(m) for s, m in zip(solvers, metrics)]
+    ops_stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ops_list)
+    rhs_stacked = jnp.stack([r.ravel() for r in rhss])
+    M, n = solvers[0].M, solvers[0].n
+    u, iters, resid = _solve_jit_batched(ops_stacked, rhs_stacked, M, n,
+                                         maxiter, restart, jnp.asarray(tol))
+    us = [u[i] for i in range(len(solvers))]
+    return us, {"iterations": iters, "residual": resid}
+
+
 class AnnularScalarSolver:
     """(k^2 - Lap) u = f on the annulus, Robin BCs at r=lb and r=ub.
 
@@ -164,16 +199,20 @@ class AnnularScalarSolver:
                                          verbose=verbose)
         return u
 
+    def build_rhs(self, f, g_lb, g_ub):
+        """Residual-layout right-hand side: [R02 @ f ; g_lb ; g_ub]."""
+        top = jnp.matmul(self.ops_static["R02"], jnp.asarray(f),
+                         precision=_HIGH)
+        return jnp.concatenate(
+            [top, jnp.asarray(g_lb)[None], jnp.asarray(g_ub)[None]], axis=0)
+
     def solve_with_stats(self, metric: AnnularMetric, f, g_lb, g_ub,
                          tol: float = 1e-14, maxiter: int = 200,
                          restart: int = 40, verbose: bool = False):
         """Like solve, also returning {'iterations', 'residual'} as device
         scalars (jit-safe: nothing is host-synced here)."""
         ops = self.make_ops(metric)
-        top = jnp.matmul(self.ops_static["R02"], jnp.asarray(f),
-                         precision=_HIGH)
-        rhs = jnp.concatenate(
-            [top, jnp.asarray(g_lb)[None], jnp.asarray(g_ub)[None]], axis=0)
+        rhs = self.build_rhs(f, g_lb, g_ub)
         u, iters, resid = _solve_jit(ops, rhs.ravel(), self.M, self.n,
                                      maxiter, restart, jnp.asarray(tol))
         if not isinstance(iters, jax.core.Tracer):
@@ -199,8 +238,7 @@ class AnnularPoissonSolver(AnnularScalarSolver):
     def __init__(self, geom: AnnularGeometry, **bc):
         super().__init__(geom, helmholtz_k=0.0, **bc)
 
-    def solve_with_stats(self, metric, f, g_lb, g_ub, **kw):
-        # the inherited solve() routes through here, so the sign flip
-        # happens exactly once for both entry points
-        return super().solve_with_stats(metric, -jnp.asarray(f), g_lb, g_ub,
-                                        **kw)
+    def build_rhs(self, f, g_lb, g_ub):
+        # every entry point (solve, solve_with_stats, the batched path)
+        # builds the RHS here, so the sign flip happens exactly once
+        return super().build_rhs(-jnp.asarray(f), g_lb, g_ub)

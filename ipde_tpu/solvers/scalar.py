@@ -88,6 +88,17 @@ class _ScalarHelper:
             self.metric, fr, zero, zero, tol=tol, maxiter=maxiter,
             restart=restart)
         self.iterations_last_call = self.annular_solver.iterations_last_call
+        sigma_g, sigma_r = self.densities(ur, bv, bx, by)
+        return ur, sigma_g, sigma_r, stats
+
+    def annular_rhs(self, fr):
+        """RHS for the zero-BC annular solve (batched-dispatch path)."""
+        zero = jnp.zeros(self.ebdy.bdy.N)
+        return self.annular_solver.build_rhs(fr, zero, zero)
+
+    def densities(self, ur, bv, bx, by):
+        """QFS effective densities from the annular solution + interface
+        data (the non-GMRES half of solve_and_densities)."""
         urn = jnp.matmul(self.dn_to_ifc, ur, precision=_HIGH)
         ucn = bx * self.ifc_normal[0] + by * self.ifc_normal[1]
         slp = urn - ucn
@@ -97,7 +108,7 @@ class _ScalarHelper:
             dlp = -dlp
         sigma_g = self.qfs_g([slp, dlp])
         sigma_r = self.qfs_r([slp, dlp])
-        return ur, sigma_g, sigma_r, stats
+        return sigma_g, sigma_r
 
     def correct(self, solver, ur, sigma_g, sigma_r, bu):
         """Fold in other boundaries' fields (reference: internals/scalar.py:95-116)."""
@@ -235,22 +246,45 @@ class ScalarSolver:
         bvl = ebdyc.v2l(bvs)
         bxl = ebdyc.v2l(bxs)
         byl = ebdyc.v2l(bys)
-        # per-boundary annular solves + densities
-        urs, sig_gs, sig_rs, stats_list = [], [], [], []
-        for h, fr, bv, bx, by in zip(self.helpers, f.radials, bvl, bxl, byl):
-            ur, sg, sr, st = h.solve_and_densities(fr, bv, bx, by, tol,
-                                                   maxiter, restart)
-            urs.append(ur)
-            sig_gs.append(sg)
-            sig_rs.append(sr)
-            stats_list.append(st)
-        stats = {
-            "annular_iterations": jnp.stack(
-                [s["iterations"] for s in stats_list]),
-            "annular_residuals": jnp.stack(
-                [s["residual"] for s in stats_list]),
-        }
-        self.iteration_counts = [h.iterations_last_call for h in self.helpers]
+        # per-boundary annular solves + densities.  When every boundary has
+        # the same (M, n) the GMRES runs as ONE vmapped dispatch over the
+        # boundary axis (SURVEY.md 2.3(b)); otherwise a Python loop.
+        dims = {(h.annular_solver.M, h.annular_solver.n)
+                for h in self.helpers}
+        if len(self.helpers) > 1 and len(dims) == 1:
+            from ipde_tpu.solvers.annular_scalar import batched_annular_solve
+            rhss = [h.annular_rhs(fr)
+                    for h, fr in zip(self.helpers, f.radials)]
+            urs, bstats = batched_annular_solve(
+                [h.annular_solver for h in self.helpers],
+                [h.metric for h in self.helpers], rhss, tol, maxiter,
+                restart)
+            stats = {"annular_iterations": bstats["iterations"],
+                     "annular_residuals": bstats["residual"]}
+            sig_gs, sig_rs = [], []
+            for h, ur, bv, bx, by in zip(self.helpers, urs, bvl, bxl, byl):
+                sg, sr = h.densities(ur, bv, bx, by)
+                sig_gs.append(sg)
+                sig_rs.append(sr)
+        else:
+            urs, sig_gs, sig_rs, stats_list = [], [], [], []
+            for h, fr, bv, bx, by in zip(self.helpers, f.radials, bvl, bxl,
+                                         byl):
+                ur, sg, sr, st = h.solve_and_densities(fr, bv, bx, by, tol,
+                                                       maxiter, restart)
+                urs.append(ur)
+                sig_gs.append(sg)
+                sig_rs.append(sr)
+                stats_list.append(st)
+            stats = {
+                "annular_iterations": jnp.stack(
+                    [s["iterations"] for s in stats_list]),
+                "annular_residuals": jnp.stack(
+                    [s["residual"] for s in stats_list]),
+            }
+        it = stats["annular_iterations"]
+        if not isinstance(it, jax.core.Tracer):
+            self.iteration_counts = [int(v) for v in np.asarray(it)]
         if verbose:
             print("annular iterations:", self.iteration_counts)
         # global layer evaluation onto pna + interfaces
