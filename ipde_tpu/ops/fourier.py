@@ -195,6 +195,36 @@ class FourierPlan2D:
         c = self._ty.ifft(Cx(c.re.T, c.im.T))
         return c.re.T
 
+    def rfft2(self, x) -> Cx:
+        """Half-spectrum DFT of REAL (nx, ny) input: Cx of shape
+        (nx//2 + 1, ny) holding rows kx = 0..nx/2 (the rest follows from
+        Hermitian symmetry).  Costs ~half of fft2: the x-pass packs column
+        pairs into one complex transform, and the y-pass only sees the
+        retained rows."""
+        if self.native:
+            z = jnp.fft.fft(jnp.fft.rfft(x, axis=0), axis=1)
+            return Cx(jnp.real(z), jnp.imag(z))
+        c = self._tx.rfft_packed(x)
+        c = self._ty.fft(Cx(c.re.T, c.im.T))
+        return Cx(c.re.T, c.im.T)
+
+    def irfft2_real(self, c: Cx):
+        """Inverse of rfft2: (nx//2+1, ny) half-spectrum of a REAL field ->
+        real (nx, ny).  The input must be (numerically) the half-spectrum of
+        a real field; the missing rows are reconstructed by symmetry after
+        the y-pass and the x-pass packs column pairs."""
+        if self.native:
+            z = jnp.fft.ifft(jax.lax.complex(c.re, c.im), axis=1)
+            return jnp.fft.irfft(z, n=self.nx, axis=0)
+        d = self._ty.ifft(Cx(c.re.T, c.im.T))
+        return self._tx.irfft_packed(Cx(d.re.T, d.im.T))
+
+    def solve_symbol_r(self, f, symbol_h):
+        """ifft2(fft2(f) * symbol).real via the half-spectrum path;
+        symbol_h is the REAL symbol restricted to rows [0, nx//2]."""
+        c = self.rfft2(f)
+        return self.irfft2_real(Cx(c.re * symbol_h, c.im * symbol_h))
+
     def solve_symbol(self, f, symbol):
         """ifft2(fft2(f) * symbol).real for real f and real symbol."""
         c = self.fft2(f)
@@ -238,8 +268,15 @@ class DirectDFT1D:
     def __init__(self, n: int):
         c_, s_ = _dft_mats_np(n)
         self.n = n
+        self.nk = n // 2 + 1
         self.C = jnp.asarray(c_)
         self.S = jnp.asarray(s_)
+        rc, rs = _rdft_mats_np(n)
+        self.RC = jnp.asarray(rc)     # (nk, n)
+        self.RS = jnp.asarray(rs)
+        icr, ici = _irdft_mats_np(n)
+        self.ICR = jnp.asarray(icr)   # (n, nk)
+        self.ICI = jnp.asarray(ici)
 
     def fft(self, c: Cx) -> Cx:
         return Cx(_dot(self.C, c.re) - _dot(self.S, c.im),
@@ -248,6 +285,14 @@ class DirectDFT1D:
     def fft_real(self, x) -> Cx:
         """DFT of REAL input: half the matmuls of the complex path."""
         return Cx(_dot(self.C, x), _dot(self.S, x))
+
+    def rfft_packed(self, x) -> Cx:
+        """DFT of REAL input, rows 0..n//2 only (half-matrix matmuls)."""
+        return Cx(_dot(self.RC, x), _dot(self.RS, x))
+
+    def irfft_packed(self, c: Cx):
+        """Real inverse from the half-spectrum rows (Hermitian input)."""
+        return _dot(self.ICR, c.re) + _dot(self.ICI, c.im)
 
     def ifft(self, c: Cx) -> Cx:
         o = self.fft(Cx(c.re, -c.im))
@@ -335,3 +380,43 @@ class FourStepFFT1D:
         """Inverse: conj -> fft -> conj / n."""
         out = self.fft(Cx(c.re, -c.im))
         return Cx(out.re / self.n, -out.im / self.n)
+
+    def rfft_packed(self, x) -> Cx:
+        """DFT of REAL (n, m) input, rows 0..n//2 only.
+
+        Column-packing trick: z = x[:, 0::2] + i x[:, 1::2] is transformed
+        with ONE complex four-step pass (half the work), then the two
+        columns' spectra are separated by Hermitian symmetry
+        E(k) = (Z(k) + conj(Z(-k)))/2, O(k) = (Z(k) - conj(Z(-k)))/(2i)."""
+        n, nk = self.n, self.n // 2 + 1
+        m = x.shape[1]
+        if m % 2 == 1:
+            x = jnp.concatenate([x, jnp.zeros((n, 1), x.dtype)], axis=1)
+        Z = self.fft(Cx(x[:, 0::2], x[:, 1::2]))
+        # rows of Z(-k) for k = 0..nk-1: [0, n-1, n-2, ..., n-nk+1]
+        zr_rev = jnp.concatenate([Z.re[:1], Z.re[:0:-1][: nk - 1]], axis=0)
+        zi_rev = jnp.concatenate([Z.im[:1], Z.im[:0:-1][: nk - 1]], axis=0)
+        zr, zi = Z.re[:nk], Z.im[:nk]
+        er, ei = 0.5 * (zr + zr_rev), 0.5 * (zi - zi_rev)
+        our, oui = 0.5 * (zi + zi_rev), 0.5 * (zr_rev - zr)
+        out_r = jnp.stack([er, our], axis=2).reshape(nk, -1)[:, :m]
+        out_i = jnp.stack([ei, oui], axis=2).reshape(nk, -1)[:, :m]
+        return Cx(out_r, out_i)
+
+    def irfft_packed(self, c: Cx):
+        """Real inverse from half-spectrum rows 0..n//2 (Hermitian input):
+        rebuild the mirrored rows by symmetry, then invert column PAIRS as
+        one complex four-step pass (z = u_even + i u_odd)."""
+        n = self.n
+        nk = c.re.shape[0]
+        m = c.re.shape[1]
+        tr = c.re[1: n - nk + 1][::-1]
+        ti = -c.im[1: n - nk + 1][::-1]
+        fr = jnp.concatenate([c.re, tr], axis=0)
+        fi = jnp.concatenate([c.im, ti], axis=0)
+        if m % 2 == 1:
+            fr = jnp.concatenate([fr, jnp.zeros((n, 1), fr.dtype)], axis=1)
+            fi = jnp.concatenate([fi, jnp.zeros((n, 1), fi.dtype)], axis=1)
+        z = self.ifft(Cx(fr[:, 0::2] - fi[:, 1::2],
+                         fi[:, 0::2] + fr[:, 1::2]))
+        return jnp.stack([z.re, z.im], axis=2).reshape(n, -1)[:, :m]

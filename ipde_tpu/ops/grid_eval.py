@@ -317,6 +317,9 @@ class _EvaluatorBase:
         self.kxc = kx[:, None]
         self.kyr = ky[None, :]
         self.kk = np.hypot(self.kxc, self.kyr)
+        # device transforms run on the HALF spectrum (rows kx = 0..Px/2);
+        # symbols are real and even so the Hermitian half determines all
+        self.nkx = Px // 2 + 1
         self.fft_plan = FourierPlan2D(Px, Py)
 
     def _spread(self, q):
@@ -417,7 +420,7 @@ class FreespaceGridEvaluator(_EvaluatorBase):
             gfun = lambda r: K0(kappa * np.maximum(r, 1e-300)) / (2 * np.pi)
         else:
             raise ValueError(kernel)
-        self.mult = jnp.asarray(symf(self.kk) * self.deconv)
+        self.mult = jnp.asarray((symf(self.kk) * self.deconv)[: self.nkx])
         # ---- near corrections (radial table of the band-limited kernel) --
         hx, hy = grid.xh, grid.yh
         r_cut = r_cut_h * max(hx, hy)
@@ -435,9 +438,9 @@ class FreespaceGridEvaluator(_EvaluatorBase):
     def __call__(self, q):
         """q: (S,) weighted charges -> (Nx, Ny) potential grid."""
         spread = self._spread(q)
-        c = self.fft_plan.fft2(spread)
+        c = self.fft_plan.rfft2(spread)
         c = Cx(c.re * self.mult, c.im * self.mult)
-        phi = self.fft_plan.ifft2_real(c)[: self.grid.Nx, : self.grid.Ny]
+        phi = self.fft_plan.irfft2_real(c)[: self.grid.Nx, : self.grid.Ny]
         (phi,) = self._apply_patches(
             [phi], [self.patches * q[:, None, None]])
         return phi
@@ -478,9 +481,9 @@ class StokesFreespaceGridEvaluator(_EvaluatorBase):
         screen = lambda k: np.exp(-(k**2) / (4 * eta**2))
         bsym = lambda k: biharmonic_truncated_symbol(k, L) * screen_v(k)
         qsym = lambda k: laplace_truncated_symbol(k, L) * screen(k)
-        self.multB = jnp.asarray(bsym(self.kk) * self.deconv)
-        self.multQ = jnp.asarray(qsym(self.kk) * self.deconv)
-        self.kx_dev = jnp.asarray(self.kxc)
+        self.multB = jnp.asarray((bsym(self.kk) * self.deconv)[: self.nkx])
+        self.multQ = jnp.asarray((qsym(self.kk) * self.deconv)[: self.nkx])
+        self.kx_dev = jnp.asarray(self.kxc[: self.nkx])
         self.ky_dev = jnp.asarray(self.kyr)
         # ---- near corrections --------------------------------------------
         # The band-limited velocity kernel is derivatives of the RADIAL
@@ -539,18 +542,18 @@ class StokesFreespaceGridEvaluator(_EvaluatorBase):
 
     def __call__(self, wfx, wfy):
         """(S,) weighted force components -> (u, v, p) on the (Nx, Ny) grid."""
-        Fx = self.fft_plan.fft2(self._spread(wfx))
-        Fy = self.fft_plan.fft2(self._spread(wfy))
+        Fx = self.fft_plan.rfft2(self._spread(wfx))
+        Fy = self.fft_plan.rfft2(self._spread(wfy))
         kx, ky = self.kx_dev, self.ky_dev
         # w = Bhat (ky Fx - kx Fy);  u = ky w;  v = -kx w
         wre = self.multB * (ky * Fx.re - kx * Fy.re)
         wim = self.multB * (ky * Fx.im - kx * Fy.im)
-        u = self.fft_plan.ifft2_real(Cx(ky * wre, ky * wim))
-        v = self.fft_plan.ifft2_real(Cx(-kx * wre, -kx * wim))
+        u = self.fft_plan.irfft2_real(Cx(ky * wre, ky * wim))
+        v = self.fft_plan.irfft2_real(Cx(-kx * wre, -kx * wim))
         # p = ifft[-i (kx Fx + ky Fy) Qhat]
         sre = kx * Fx.re + ky * Fy.re
         sim = kx * Fx.im + ky * Fy.im
-        p = self.fft_plan.ifft2_real(Cx(self.multQ * sim, -self.multQ * sre))
+        p = self.fft_plan.irfft2_real(Cx(self.multQ * sim, -self.multQ * sre))
         Nx, Ny = self.grid.Nx, self.grid.Ny
         # restore the constant the (grad grad - delta lap) B form drops
         u = u[:Nx, :Ny] + jnp.sum(wfx) / (8 * jnp.pi)

@@ -49,6 +49,27 @@ def test_fft2_matches_numpy():
         np.testing.assert_allclose(np.asarray(back), x, atol=1e-13)
 
 
+def test_rfft2_half_spectrum_matches_numpy():
+    # both axis-plan kinds (direct: n < 256; four-step: n >= 256 composite),
+    # odd and even column counts (the packed path pads a column)
+    rng = np.random.default_rng(2)
+    for nx, ny in [(24, 32), (320, 288), (288, 321)]:
+        x = rng.standard_normal((nx, ny))
+        plan = FourierPlan2D(nx, ny, native=False)
+        nk = nx // 2 + 1
+        ref = np.fft.fft2(x)[:nk]
+        c = plan.rfft2(jnp.asarray(x))
+        np.testing.assert_allclose(to_np(c), ref,
+                                   atol=1e-11 * np.abs(ref).max())
+        back = plan.irfft2_real(c)
+        np.testing.assert_allclose(np.asarray(back), x, atol=1e-12)
+        sym = np.hypot(np.fft.fftfreq(nx)[:, None],
+                       np.fft.fftfreq(ny)[None, :])
+        want = np.fft.ifft2(np.fft.fft2(x) * sym).real
+        got = plan.solve_symbol_r(jnp.asarray(x), jnp.asarray(sym[:nk]))
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-12)
+
+
 def test_fft2_solve_symbol_poisson():
     # periodic Poisson solve on [0, 2pi)^2
     n = 64

@@ -91,9 +91,9 @@ def main():
     def fft_only(qq):
         from ipde_tpu.ops.cx import Cx
         spread = ge._spread(qq)
-        c = ge.fft_plan.fft2(spread)
+        c = ge.fft_plan.rfft2(spread)
         c = Cx(c.re * ge.mult, c.im * ge.mult)
-        return ge.fft_plan.ifft2_real(c)[: grid.Nx, : grid.Ny]
+        return ge.fft_plan.irfft2_real(c)[: grid.Nx, : grid.Ny]
     ms, _ = timeit(planified(fft_only, solver), q, latency=lat)
     print(f"VG fft part          {ms:8.1f} ms")
 
