@@ -148,6 +148,43 @@ def _solve_jit(ops: StokesOps, rhs, M: int, n: int, maxiter: int,
             x[2 * NU:].reshape(M - 1, n), res.iterations, res.residual)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _solve_jit_batched(ops_stacked: StokesOps, rhs_stacked, M: int, n: int,
+                       maxiter: int, restart: int, tol):
+    """vmapped Stokes GMRES over the BOUNDARY axis (SURVEY.md 2.3(b)): one
+    dispatch for B same-shape annular Stokes solves; ops leaves carry a
+    leading B axis."""
+
+    def one(ops, rhs):
+        mv = lambda v: _matvec(ops, v, M, n)
+        pc = lambda v: _precond(ops, v, M, n)
+        res = gmres(mv, rhs, precond=pc, tol=tol, maxiter=maxiter,
+                    restart=restart)
+        NU = M * n
+        x = res.x
+        return (x[:NU].reshape(M, n), x[NU:2 * NU].reshape(M, n),
+                x[2 * NU:].reshape(M - 1, n), res.iterations, res.residual)
+
+    return jax.vmap(one)(ops_stacked, rhs_stacked)
+
+
+def batched_stokes_solve(solvers, metrics, rhss, tol, maxiter, restart):
+    """Solve B same-shape annular Stokes problems in ONE device dispatch.
+
+    rhss: list of flat RHS vectors from AnnularStokesSolver.build_rhs.
+    Returns (list of (ur, ut, p_full) triples, stats dict)."""
+    ops_list = [s.make_ops(m) for s, m in zip(solvers, metrics)]
+    ops_stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ops_list)
+    rhs_stacked = jnp.stack(rhss)
+    M, n = solvers[0].M, solvers[0].n
+    ur, ut, p, iters, resid = _solve_jit_batched(
+        ops_stacked, rhs_stacked, M, n, maxiter, restart, jnp.asarray(tol))
+    outs = [(ur[i], ut[i],
+             jnp.matmul(s.P10, p[i], precision=_HIGH))
+            for i, s in enumerate(solvers)]
+    return outs, {"iterations": iters, "residual": resid}
+
+
 class AnnularStokesSolver:
     """Velocity-Dirichlet Stokes solve on the annulus, (r, t) components.
 
@@ -254,18 +291,22 @@ class AnnularStokesSolver:
             maxiter=maxiter, restart=restart, verbose=verbose)
         return ur, ut, p_full
 
-    def solve_with_stats(self, metric: AnnularMetric, fr, ft, lbc_r, lbc_t,
-                         ubc_r, ubc_t, tol: float = 1e-14, maxiter: int = 200,
-                         restart: int = 50, verbose: bool = False):
-        ops = self.make_ops(metric)
+    def build_rhs(self, fr, ft, lbc_r, lbc_t, ubc_r, ubc_t):
+        """Flat RHS in residual layout (for solve or batched_stokes_solve)."""
         R02 = self._static["R02"]
         top_r = jnp.matmul(R02, jnp.asarray(fr), precision=_HIGH)
         top_t = jnp.matmul(R02, jnp.asarray(ft), precision=_HIGH)
-        rhs = jnp.concatenate([
+        return jnp.concatenate([
             top_r.ravel(), jnp.asarray(lbc_r), jnp.asarray(ubc_r),
             top_t.ravel(), jnp.asarray(lbc_t), jnp.asarray(ubc_t),
             jnp.zeros((self.M - 1) * self.n),
         ])
+
+    def solve_with_stats(self, metric: AnnularMetric, fr, ft, lbc_r, lbc_t,
+                         ubc_r, ubc_t, tol: float = 1e-14, maxiter: int = 200,
+                         restart: int = 50, verbose: bool = False):
+        ops = self.make_ops(metric)
+        rhs = self.build_rhs(fr, ft, lbc_r, lbc_t, ubc_r, ubc_t)
         ur, ut, p, iters, resid = _solve_jit(ops, rhs, self.M, self.n,
                                              maxiter, restart,
                                              jnp.asarray(tol))

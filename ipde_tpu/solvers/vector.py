@@ -122,18 +122,19 @@ class _StokesHelper:
         return self.rt_to_uv(Tr, Tt)
 
     # -- main per-boundary step ----------------------------------------------
-    def solve_and_densities(self, fur, fvr, bu, bv, btxx, btxy, btyy,
-                            tol, maxiter, restart):
-        ebdy = self.ebdy
+    def annular_rhs(self, fur, fvr):
+        """Flat zero-BC annular RHS (batched-dispatch path)."""
+        fr, ft = self.uv_to_rt(fur, fvr)
+        zero = jnp.zeros(self.ebdy.bdy.N)
+        return self.annular_solver.build_rhs(fr, ft, zero, zero, zero, zero)
+
+    def densities(self, uvp_rt, bu, bv, btxx, btxy, btyy):
+        """QFS effective densities from the (r, t, p) annular solution +
+        interface data (the non-GMRES half of solve_and_densities)."""
+        rr, tr, pr = uvp_rt
         nix, niy = self.ifc_n
         btx = btxx * nix + btxy * niy
         bty = btxy * nix + btyy * niy
-        fr, ft = self.uv_to_rt(fur, fvr)
-        zero = jnp.zeros(ebdy.bdy.N)
-        (rr, tr, pr), stats = self.annular_solver.solve_with_stats(
-            self.metric, fr, ft, zero, zero, zero, zero, tol=tol,
-            maxiter=maxiter, restart=restart)
-        self.iterations_last_call = self.annular_solver.iterations_last_call
         ur, vr = self.rt_to_uv(rr, tr)
         rtx, rty = self.interface_traction_uv(ur, vr, pr)
         taus = jnp.concatenate([rtx - btx, rty - bty])
@@ -143,7 +144,19 @@ class _StokesHelper:
             taud = -taud
         sigma_g = self.qfs_g([taus, taud])
         sigma_r = self.qfs_r([taus, taud])
-        return (ur, vr, pr), sigma_g, sigma_r, stats
+        return (ur, vr, pr), sigma_g, sigma_r
+
+    def solve_and_densities(self, fur, fvr, bu, bv, btxx, btxy, btyy,
+                            tol, maxiter, restart):
+        fr, ft = self.uv_to_rt(fur, fvr)
+        zero = jnp.zeros(self.ebdy.bdy.N)
+        uvp_rt, stats = self.annular_solver.solve_with_stats(
+            self.metric, fr, ft, zero, zero, zero, zero, tol=tol,
+            maxiter=maxiter, restart=restart)
+        self.iterations_last_call = self.annular_solver.iterations_last_call
+        uvp, sigma_g, sigma_r = self.densities(uvp_rt, bu, bv, btxx, btxy,
+                                               btyy)
+        return uvp, sigma_g, sigma_r, stats
 
     def correct(self, uvp, sigma_g, sigma_r, bu, bv, single: bool):
         ur, vr, pr = uvp
@@ -265,24 +278,52 @@ class StokesSolver:
         btxys = uys + vxs
         btyys = 2 * vys - bps
         v2l = ebdyc.v2l
-        per = zip(self.helpers, fu.radials, fv.radials, v2l(bus), v2l(bvs),
-                  v2l(btxxs), v2l(btxys), v2l(btyys))
-        uvps, sig_gs, sig_rs, stats_list = [], [], [], []
-        for h, fur, fvr, bu, bv, txx, txy, tyy in per:
-            uvp, sg, sr, st = h.solve_and_densities(fur, fvr, bu, bv, txx,
-                                                    txy, tyy, tol, maxiter,
-                                                    restart)
-            uvps.append(uvp)
-            sig_gs.append(sg)
-            sig_rs.append(sr)
-            stats_list.append(st)
-        stats = {
-            "annular_iterations": jnp.stack(
-                [s["iterations"] for s in stats_list]),
-            "annular_residuals": jnp.stack(
-                [s["residual"] for s in stats_list]),
-        }
-        self.iteration_counts = [h.iterations_last_call for h in self.helpers]
+        bul_, bvl_ = v2l(bus), v2l(bvs)
+        txxl, txyl, tyyl = v2l(btxxs), v2l(btxys), v2l(btyys)
+        # per-boundary annular solves + densities.  When every boundary has
+        # the same (M, n) the Stokes GMRES runs as ONE vmapped dispatch over
+        # the boundary axis (SURVEY.md 2.3(b)); otherwise a Python loop.
+        dims = {(h.annular_solver.M, h.annular_solver.n)
+                for h in self.helpers}
+        uvps, sig_gs, sig_rs = [], [], []
+        if len(self.helpers) > 1 and len(dims) == 1:
+            from ipde_tpu.solvers.annular_stokes import batched_stokes_solve
+            rhss = [h.annular_rhs(fur, fvr)
+                    for h, fur, fvr in zip(self.helpers, fu.radials,
+                                           fv.radials)]
+            uvp_rts, bstats = batched_stokes_solve(
+                [h.annular_solver for h in self.helpers],
+                [h.metric for h in self.helpers], rhss, tol, maxiter,
+                restart)
+            stats = {"annular_iterations": bstats["iterations"],
+                     "annular_residuals": bstats["residual"]}
+            for h, uvp_rt, bu, bv, txx, txy, tyy in zip(
+                    self.helpers, uvp_rts, bul_, bvl_, txxl, txyl, tyyl):
+                uvp, sg, sr = h.densities(uvp_rt, bu, bv, txx, txy, tyy)
+                uvps.append(uvp)
+                sig_gs.append(sg)
+                sig_rs.append(sr)
+        else:
+            stats_list = []
+            per = zip(self.helpers, fu.radials, fv.radials, bul_, bvl_,
+                      txxl, txyl, tyyl)
+            for h, fur, fvr, bu, bv, txx, txy, tyy in per:
+                uvp, sg, sr, st = h.solve_and_densities(fur, fvr, bu, bv,
+                                                        txx, txy, tyy, tol,
+                                                        maxiter, restart)
+                uvps.append(uvp)
+                sig_gs.append(sg)
+                sig_rs.append(sr)
+                stats_list.append(st)
+            stats = {
+                "annular_iterations": jnp.stack(
+                    [s["iterations"] for s in stats_list]),
+                "annular_residuals": jnp.stack(
+                    [s["residual"] for s in stats_list]),
+            }
+        it = stats["annular_iterations"]
+        if not isinstance(it, jax.core.Tracer):
+            self.iteration_counts = [int(v) for v in np.asarray(it)]
         if verbose:
             print("annular Stokes iterations:", self.iteration_counts)
         # merged sigma_g evaluation onto pna + interfaces

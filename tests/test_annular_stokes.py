@@ -70,3 +70,37 @@ def test_annular_stokes():
     assert err_t < 5e-10
     assert err_p < 5e-8
     assert solver.iterations_last_call < 120
+
+
+def test_batched_stokes_matches_sequential():
+    """batched_stokes_solve (one vmapped GMRES over the boundary axis) must
+    reproduce the per-boundary solve to roundoff on two DIFFERENT metrics
+    of the same (M, n)."""
+    import jax.numpy as jnp
+    from ipde_tpu.solvers.annular_stokes import batched_stokes_solve
+
+    nb, M = 128, 10
+    solvers, metrics, rhss, seq = [], [], [], []
+    for a, f in [(0.12, 4), (0.05, 3)]:
+        bdy = star(nb, a=a, f=f)
+        w = min(0.1, 0.5 / np.abs(bdy.curvature).max())
+        geom = AnnularGeometry(nb, M, -w, 0.0, 1.0)
+        metric = AnnularMetric(bdy.speed, bdy.curvature, geom)
+        x = bdy.x + geom.rv0[:, None] * bdy.normal_x
+        y = bdy.y + geom.rv0[:, None] * bdy.normal_y
+        fr, ft = _to_rt(bdy, fu_func(x, y), fv_func(x, y))
+        zero = np.zeros(nb)
+        s = AnnularStokesSolver(geom, mu=1.0)
+        solvers.append(s)
+        metrics.append(metric)
+        rhss.append(s.build_rhs(jnp.asarray(fr), jnp.asarray(ft),
+                                zero, zero, zero, zero))
+        seq.append(s.solve(metric, fr, ft, zero, zero, zero, zero,
+                           tol=1e-13))
+    outs, stats = batched_stokes_solve(solvers, metrics, rhss, 1e-13,
+                                       200, 50)
+    for (ur_b, ut_b, p_b), (ur_s, ut_s, p_s) in zip(outs, seq):
+        assert np.abs(np.asarray(ur_b) - np.asarray(ur_s)).max() < 1e-11
+        assert np.abs(np.asarray(ut_b) - np.asarray(ut_s)).max() < 1e-11
+        assert np.abs(np.asarray(p_b) - np.asarray(p_s)).max() < 1e-9
+    assert np.asarray(stats["iterations"]).shape == (2,)
