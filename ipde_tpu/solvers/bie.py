@@ -48,7 +48,8 @@ class DirichletBIE:
         self.qfs_list = []
         self.src_list = []
         for e in ebdyc:
-            src = e.qfs_source_for_side("bdy", interior_eval=e.interior)
+            src = e.qfs_source_for_side("bdy", interior_eval=e.interior,
+                                        alpha=solver._qfs_alpha(e))
             src.dev()   # warm device mirrors (planified-jit arguments)
             self.src_list.append(src)
             self.qfs_list.append(
@@ -334,7 +335,8 @@ class NeumannBIE:
         self.qfs_list = []
         self.src_list = []
         for e in ebdyc:
-            src = e.qfs_source_for_side("bdy", interior_eval=e.interior)
+            src = e.qfs_source_for_side("bdy", interior_eval=e.interior,
+                                        alpha=solver._qfs_alpha(e))
             src.dev()
             self.src_list.append(src)
             self.qfs_list.append(

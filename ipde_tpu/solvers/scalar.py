@@ -56,10 +56,11 @@ class _ScalarHelper:
                                else solver._make_annular_solver(geom))
         self.metric = AnnularMetric(ebdy.bdy.speed, ebdy.bdy.curvature, geom)
         ifc = ebdy.interface
-        self.grid_source = ebdy.qfs_source_for_side("interface",
-                                                    interior_eval=self.interior)
+        alpha = solver._qfs_alpha(ebdy)
+        self.grid_source = ebdy.qfs_source_for_side(
+            "interface", interior_eval=self.interior, alpha=alpha)
         self.radial_source = ebdy.qfs_source_for_side(
-            "interface", interior_eval=not self.interior)
+            "interface", interior_eval=not self.interior, alpha=alpha)
         self.qfs_g = solver._make_qfs(ifc, self.grid_source, self.interior)
         self.qfs_r = solver._make_qfs(ifc, self.radial_source,
                                       not self.interior)
@@ -185,6 +186,11 @@ class ScalarSolver:
                 (float(py.min()), float(py.max())))
 
     # -- PDE bindings (overridden) -----------------------------------------
+    def _qfs_alpha(self, ebdy) -> Optional[float]:
+        """QFS source-shift override in parameter spacings (None = the
+        geometry default, 1.5; the high-k Yukawa kernel needs more)."""
+        return None
+
     def _make_annular_solver(self, geom):
         raise NotImplementedError
 
@@ -390,6 +396,14 @@ class ModifiedHelmholtzSolver(ScalarSolver):
     def __init__(self, ebdyc, k: float, **kw):
         self.k = float(k)
         super().__init__(ebdyc, **kw)
+
+    def _qfs_alpha(self, ebdy):
+        """Yukawa at high k needs a larger source shift: the K0(k r)
+        quadrature tail scales with k * shift (alpha=1.5 loses ~25x at
+        k^2=1e4, measured); clip to [1.5, 3] -- 1.5 keeps the QFS map norm
+        small (TPU matmul roundoff), 3 matches the round-1 default."""
+        return float(np.clip(1.5 + 0.5 * self.k * 2.0 * np.pi
+                             / ebdy.bdy.N, 1.5, 3.0))
 
     def _make_grid_evaluator(self, gx, gy):
         from ipde_tpu.ops.grid_eval import FreespaceGridEvaluator
