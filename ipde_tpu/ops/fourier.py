@@ -225,6 +225,18 @@ class FourierPlan2D:
         c = self.rfft2(f)
         return self.irfft2_real(Cx(c.re * symbol_h, c.im * symbol_h))
 
+    def irfft2_real_corner(self, c: Cx, nx_out: int, ny_out: int):
+        """irfft2_real(c)[:nx_out, :ny_out] computed with output-truncated
+        passes: on a 2x-padded evaluator grid only the unpadded corner is
+        used, and truncating the y-pass halves the x-pass's width."""
+        if self.native:
+            z = jnp.fft.ifft(jax.lax.complex(c.re, c.im), axis=1)
+            return jnp.fft.irfft(z[:, :ny_out], n=self.nx,
+                                 axis=0)[:nx_out]
+        d = self._ty.ifft_trunc(Cx(c.re.T, c.im.T), ny_out)
+        return self._tx.irfft_packed(Cx(d.re.T, d.im.T),
+                                     n_out=nx_out)[:nx_out]
+
     def solve_symbol(self, f, symbol):
         """ifft2(fft2(f) * symbol).real for real f and real symbol."""
         c = self.fft2(f)
@@ -290,12 +302,21 @@ class DirectDFT1D:
         """DFT of REAL input, rows 0..n//2 only (half-matrix matmuls)."""
         return Cx(_dot(self.RC, x), _dot(self.RS, x))
 
-    def irfft_packed(self, c: Cx):
+    def irfft_packed(self, c: Cx, n_out: int = None):
         """Real inverse from the half-spectrum rows (Hermitian input)."""
-        return _dot(self.ICR, c.re) + _dot(self.ICI, c.im)
+        if n_out is None:
+            return _dot(self.ICR, c.re) + _dot(self.ICI, c.im)
+        return (_dot(self.ICR[:n_out], c.re)
+                + _dot(self.ICI[:n_out], c.im))
 
     def ifft(self, c: Cx) -> Cx:
         o = self.fft(Cx(c.re, -c.im))
+        return Cx(o.re / self.n, -o.im / self.n)
+
+    def ifft_trunc(self, c: Cx, n_out: int) -> Cx:
+        """Inverse DFT keeping only output rows [0, n_out)."""
+        o = Cx(_dot(self.C[:n_out], c.re) + _dot(self.S[:n_out], c.im),
+               _dot(self.S[:n_out], c.re) - _dot(self.C[:n_out], c.im))
         return Cx(o.re / self.n, -o.im / self.n)
 
 
@@ -403,10 +424,11 @@ class FourStepFFT1D:
         out_i = jnp.stack([ei, oui], axis=2).reshape(nk, -1)[:, :m]
         return Cx(out_r, out_i)
 
-    def irfft_packed(self, c: Cx):
+    def irfft_packed(self, c: Cx, n_out: int = None):
         """Real inverse from half-spectrum rows 0..n//2 (Hermitian input):
         rebuild the mirrored rows by symmetry, then invert column PAIRS as
-        one complex four-step pass (z = u_even + i u_odd)."""
+        one complex four-step pass (z = u_even + i u_odd).  n_out truncates
+        the output rows (stage-2 computes only the covering k2 range)."""
         n = self.n
         nk = c.re.shape[0]
         m = c.re.shape[1]
@@ -417,6 +439,41 @@ class FourStepFFT1D:
         if m % 2 == 1:
             fr = jnp.concatenate([fr, jnp.zeros((n, 1), fr.dtype)], axis=1)
             fi = jnp.concatenate([fi, jnp.zeros((n, 1), fi.dtype)], axis=1)
-        z = self.ifft(Cx(fr[:, 0::2] - fi[:, 1::2],
-                         fi[:, 0::2] + fr[:, 1::2]))
-        return jnp.stack([z.re, z.im], axis=2).reshape(n, -1)[:, :m]
+        packed = Cx(fr[:, 0::2] - fi[:, 1::2], fi[:, 0::2] + fr[:, 1::2])
+        if n_out is None:
+            z = self.ifft(packed)
+            rows = n
+        else:
+            z = self.ifft_trunc(packed, n_out)
+            rows = z.re.shape[0]
+        out = jnp.stack([z.re, z.im], axis=2).reshape(rows, -1)[:, :m]
+        return out if n_out is None else out[:n_out]
+
+    def ifft_trunc(self, c: Cx, n_out: int) -> Cx:
+        """Inverse keeping only output rows [0, n_out): output index
+        k = k1 + n1 k2, so stage 2 runs over k2 < ceil(n_out / n1)."""
+        n1 = self.n1
+        n2t = -(-n_out // n1)
+        out = self._fft_k2range(Cx(c.re, -c.im), n2t)
+        return Cx(out.re / self.n, -out.im / self.n)
+
+    def _fft_k2range(self, c: Cx, n2t: int) -> Cx:
+        n1, n2 = self.n1, self.n2
+        m = c.re.shape[1]
+        xr = c.re.reshape(n1, n2 * m)
+        xi = c.im.reshape(n1, n2 * m)
+        ar = (_dot(self.C1, xr) - _dot(self.S1, xi)).reshape(n1, n2, m)
+        ai = (_dot(self.S1, xr) + _dot(self.C1, xi)).reshape(n1, n2, m)
+        tr = self.TWC[:, :, None]
+        ti = self.TWS[:, :, None]
+        br = ar * tr - ai * ti
+        bi = ar * ti + ai * tr
+        C2 = self.C2T.T[:n2t]
+        S2 = self.S2T.T[:n2t]
+        br2 = jnp.einsum("ajm,cj->acm", br, C2, precision=_HIGH) \
+            - jnp.einsum("ajm,cj->acm", bi, S2, precision=_HIGH)
+        bi2 = jnp.einsum("ajm,cj->acm", br, S2, precision=_HIGH) \
+            + jnp.einsum("ajm,cj->acm", bi, C2, precision=_HIGH)
+        out_r = jnp.transpose(br2, (1, 0, 2)).reshape(n2t * n1, m)
+        out_i = jnp.transpose(bi2, (1, 0, 2)).reshape(n2t * n1, m)
+        return Cx(out_r, out_i)

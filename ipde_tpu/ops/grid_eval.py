@@ -460,7 +460,7 @@ class FreespaceGridEvaluator(_EvaluatorBase):
         spread = self._spread(q)
         c = self.fft_plan.rfft2(spread)
         c = Cx(c.re * self.mult, c.im * self.mult)
-        phi = self.fft_plan.irfft2_real(c)[: self.grid.Nx, : self.grid.Ny]
+        phi = self.fft_plan.irfft2_real_corner(c, self.grid.Nx, self.grid.Ny)
         (phi,) = self._apply_patches(
             [phi], [self.patches * q[:, None, None]])
         return phi
@@ -568,17 +568,17 @@ class StokesFreespaceGridEvaluator(_EvaluatorBase):
         # w = Bhat (ky Fx - kx Fy);  u = ky w;  v = -kx w
         wre = self.multB * (ky * Fx.re - kx * Fy.re)
         wim = self.multB * (ky * Fx.im - kx * Fy.im)
-        u = self.fft_plan.irfft2_real(Cx(ky * wre, ky * wim))
-        v = self.fft_plan.irfft2_real(Cx(-kx * wre, -kx * wim))
+        Nx, Ny = self.grid.Nx, self.grid.Ny
+        corner = lambda cc: self.fft_plan.irfft2_real_corner(cc, Nx, Ny)
+        u = corner(Cx(ky * wre, ky * wim))
+        v = corner(Cx(-kx * wre, -kx * wim))
         # p = ifft[-i (kx Fx + ky Fy) Qhat]
         sre = kx * Fx.re + ky * Fy.re
         sim = kx * Fx.im + ky * Fy.im
-        p = self.fft_plan.irfft2_real(Cx(self.multQ * sim, -self.multQ * sre))
-        Nx, Ny = self.grid.Nx, self.grid.Ny
+        p = corner(Cx(self.multQ * sim, -self.multQ * sre))
         # restore the constant the (grad grad - delta lap) B form drops
-        u = u[:Nx, :Ny] + jnp.sum(wfx) / (8 * jnp.pi)
-        v = v[:Nx, :Ny] + jnp.sum(wfy) / (8 * jnp.pi)
-        p = p[:Nx, :Ny]
+        u = u + jnp.sum(wfx) / (8 * jnp.pi)
+        v = v + jnp.sum(wfy) / (8 * jnp.pi)
         pu = self.Cxx * wfx[:, None, None] + self.Cxy * wfy[:, None, None]
         pv = self.Cxy * wfx[:, None, None] + self.Cyy * wfy[:, None, None]
         pp = self.Cpx * wfx[:, None, None] + self.Cpy * wfy[:, None, None]

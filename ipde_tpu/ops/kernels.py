@@ -22,22 +22,31 @@ import jax.numpy as jnp
 
 _HIGH = jax.lax.Precision.HIGHEST
 _CHUNK = 32768
+# cap on chunk*sources: each chunked kernel body materializes several
+# (chunk, S) f64 intermediates, and XLA may keep a few loop iterations
+# live at once (measured: an 8-way unroll at chunk 32768 x S 8100 asked
+# for 30 GB of HBM) -- bound the per-iteration footprint instead
+_CHUNK_ELEMS = 5 * 10**7
 
 
-def _chunk_size(T: int) -> int:
-    """Power-of-two chunk bounded by _CHUNK: keeps padding waste < 2x for
-    small target sets (a fixed 32k chunk made a 400-target apply do 80x
-    extra work)."""
+def _chunk_size(T: int, S: int = 0) -> int:
+    """Power-of-two chunk bounded by _CHUNK and by _CHUNK_ELEMS / S:
+    keeps padding waste < 2x for small target sets AND the per-chunk
+    (chunk, S) intermediate footprint bounded for big source sets."""
+    cap = _CHUNK
+    if S > 0:
+        while cap > 256 and cap * S > _CHUNK_ELEMS:
+            cap //= 2
     c = 256
-    while c < T and c < _CHUNK:
+    while c < T and c < cap:
         c *= 2
     return c
 
 
-def _chunked(eval_chunk, tx, ty, n_out: int = 1):
+def _chunked(eval_chunk, tx, ty, n_out: int = 1, S: int = 0):
     """Apply eval_chunk over fixed-size target chunks with padding."""
     T = tx.shape[0]
-    chunk = _chunk_size(T)
+    chunk = _chunk_size(T, S)
     nchunks = -(-T // chunk)
     pad = nchunks * chunk - T
     txp = jnp.pad(tx, (0, pad))
@@ -76,7 +85,7 @@ def laplace_slp_apply(sx, sy, weighted_charge, tx, ty):
         r2 = dx * dx + dy * dy
         return jnp.matmul(-accurate_log(r2), weighted_charge,
                           precision=_HIGH) / (4 * jnp.pi)
-    return _chunked(chunk, jnp.asarray(tx), jnp.asarray(ty))
+    return _chunked(chunk, jnp.asarray(tx), jnp.asarray(ty), S=sx.shape[0])
 
 
 def laplace_slp_grad_apply(sx, sy, weighted_charge, tx, ty):
@@ -88,7 +97,7 @@ def laplace_slp_grad_apply(sx, sy, weighted_charge, tx, ty):
         gx = jnp.matmul(-dx * ir2, weighted_charge, precision=_HIGH) / (2 * jnp.pi)
         gy = jnp.matmul(-dy * ir2, weighted_charge, precision=_HIGH) / (2 * jnp.pi)
         return gx, gy
-    return _chunked(chunk, jnp.asarray(tx), jnp.asarray(ty))
+    return _chunked(chunk, jnp.asarray(tx), jnp.asarray(ty), S=sx.shape[0])
 
 
 def mh_slp_apply(sx, sy, weighted_charge, tx, ty, k: float):
@@ -104,7 +113,7 @@ def mh_slp_apply(sx, sy, weighted_charge, tx, ty, k: float):
         z = k * jnp.sqrt(dx * dx + dy * dy)
         return jnp.matmul(bessel_k0(z), weighted_charge,
                           precision=_HIGH) / (2 * jnp.pi)
-    return _chunked(chunk, jnp.asarray(tx), jnp.asarray(ty))
+    return _chunked(chunk, jnp.asarray(tx), jnp.asarray(ty), S=sx.shape[0])
 
 
 # ---------------------------------------------------------------------------

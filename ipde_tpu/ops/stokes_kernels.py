@@ -176,9 +176,8 @@ def stokes_slp_apply(sx, sy, wfx, wfy, tx, ty):
         return u, v, p
 
     T = jnp.asarray(tx).shape[0]
-    csz = 256
-    while csz < T and csz < _CHUNK:
-        csz *= 2
+    from ipde_tpu.ops.kernels import _chunk_size
+    csz = _chunk_size(T, int(sx.shape[0]))
     nch = -(-T // csz)
     pad = nch * csz - T
     txc = jnp.pad(jnp.asarray(tx), (0, pad)).reshape(nch, csz)
