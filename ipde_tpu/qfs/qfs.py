@@ -99,14 +99,18 @@ class QFSEvaluator:
 
     def __init__(self, source: BoundaryCurve, curve: BoundaryCurve,
                  forms: Sequence[np.ndarray], A: np.ndarray,
-                 rcond: float = 1e-15):
+                 rcond: float = 1e-15, build_u2s: bool = True):
+        """build_u2s=False skips the values->source map (a (N_src x N)
+        device matrix, ~0.7 GB per Stokes boundary at nb=2700): it is only
+        consumed by multi-body correction passes."""
         self.source = source
         self.curve = curve
         Apinv = _reg_pinv(A, rcond)
         assert (A.shape[0] // curve.N) * curve.N == A.shape[0]
         self.mats = [jnp.asarray(Apinv @ _filter_rows(np.asarray(B), curve.N))
                      for B in forms]
-        self.u2s_mat = jnp.asarray(_filter_cols(Apinv, curve.N))
+        self.u2s_mat = (jnp.asarray(_filter_cols(Apinv, curve.N))
+                        if build_u2s else None)
 
     def __call__(self, densities):
         out = None
@@ -116,6 +120,8 @@ class QFSEvaluator:
         return out
 
     def u2s(self, u):
+        if self.u2s_mat is None:
+            raise RuntimeError("QFSEvaluator built with build_u2s=False")
         return jnp.matmul(self.u2s_mat, jnp.asarray(u), precision=_HIGH)
 
 
@@ -123,7 +129,7 @@ class QFSEvaluator:
 
 def laplace_qfs(curve: BoundaryCurve, source: BoundaryCurve, interior: bool,
                 slp: bool = True, dlp: bool = True,
-                rcond: float = 1e-15) -> QFSEvaluator:
+                rcond: float = 1e-15, build_u2s: bool = True) -> QFSEvaluator:
     """Laplace QFS: effective single-layer density on `source` reproducing
     SLP/DLP of densities on `curve`, matched as the one-sided limit on the
     evaluation side (`interior`=True -> limit from inside the curve:
@@ -136,12 +142,12 @@ def laplace_qfs(curve: BoundaryCurve, source: BoundaryCurve, interior: bool,
     if dlp:
         forms.append(sq.laplace_dlp_self(curve) + jump * np.eye(N))
     A = sq.laplace_slp_naive(source, curve.x, curve.y)
-    return QFSEvaluator(source, curve, forms, A, rcond)
+    return QFSEvaluator(source, curve, forms, A, rcond, build_u2s=build_u2s)
 
 
 def mh_qfs(curve: BoundaryCurve, source: BoundaryCurve, interior: bool,
            k: float, slp: bool = True, dlp: bool = True,
-           rcond: float = 1e-15) -> QFSEvaluator:
+           rcond: float = 1e-15, build_u2s: bool = True) -> QFSEvaluator:
     jump = -0.5 if interior else 0.5
     N = curve.N
     forms = []
@@ -150,4 +156,4 @@ def mh_qfs(curve: BoundaryCurve, source: BoundaryCurve, interior: bool,
     if dlp:
         forms.append(sq.mh_dlp_self(curve, k) + jump * np.eye(N))
     A = sq.mh_slp_naive(source, curve.x, curve.y, k)
-    return QFSEvaluator(source, curve, forms, A, rcond)
+    return QFSEvaluator(source, curve, forms, A, rcond, build_u2s=build_u2s)

@@ -53,7 +53,7 @@ class DirichletBIE:
             src.dev()   # warm device mirrors (planified-jit arguments)
             self.src_list.append(src)
             self.qfs_list.append(
-                solver._make_qfs(e.bdy, src, e.interior))
+                solver._make_qfs(e.bdy, src, e.interior, build_u2s=False))
         self.src_w_dev = [s.dev()["weights"] for s in self.src_list]
         self.radial_targets = [
             (jnp.asarray(e.radial_x.ravel()), jnp.asarray(e.radial_y.ravel()))
@@ -203,7 +203,7 @@ class StokesDirichletBIE:
             self.src_list.append(src)
             self.qfs_list.append(
                 stokes_qfs(e.bdy, src, e.interior,
-                           slp=not e.interior, dlp=True))
+                           slp=not e.interior, dlp=True, build_u2s=False))
         self.radial_targets = [
             (jnp.asarray(e.radial_x.ravel()), jnp.asarray(e.radial_y.ravel()))
             for e in ebdyc]

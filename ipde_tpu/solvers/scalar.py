@@ -61,7 +61,9 @@ class _ScalarHelper:
             "interface", interior_eval=self.interior, alpha=alpha)
         self.radial_source = ebdy.qfs_source_for_side(
             "interface", interior_eval=not self.interior, alpha=alpha)
-        self.qfs_g = solver._make_qfs(ifc, self.grid_source, self.interior)
+        # qfs_g's u2s map is never consumed (only qfs_r.u2s in correct)
+        self.qfs_g = solver._make_qfs(ifc, self.grid_source, self.interior,
+                                      build_u2s=False)
         self.qfs_r = solver._make_qfs(ifc, self.radial_source,
                                       not self.interior)
         # own grid-source -> own interface dense matrix (for 'correct')
@@ -194,7 +196,8 @@ class ScalarSolver:
     def _make_annular_solver(self, geom):
         raise NotImplementedError
 
-    def _make_qfs(self, curve, source, interior) -> QFSEvaluator:
+    def _make_qfs(self, curve, source, interior,
+                  build_u2s: bool = True) -> QFSEvaluator:
         raise NotImplementedError
 
     def _make_qfs_slp_only(self, curve, source, interior) -> QFSEvaluator:
@@ -350,8 +353,8 @@ class PoissonSolver(ScalarSolver):
     def _make_annular_solver(self, geom):
         return AnnularPoissonSolver(geom)
 
-    def _make_qfs(self, curve, source, interior):
-        return laplace_qfs(curve, source, interior)
+    def _make_qfs(self, curve, source, interior, build_u2s: bool = True):
+        return laplace_qfs(curve, source, interior, build_u2s=build_u2s)
 
     def _make_qfs_slp_only(self, curve, source, interior):
         return laplace_qfs(curve, source, interior, slp=True, dlp=False)
@@ -415,8 +418,8 @@ class ModifiedHelmholtzSolver(ScalarSolver):
     def _make_annular_solver(self, geom):
         return AnnularModifiedHelmholtzSolver(geom, k=self.k)
 
-    def _make_qfs(self, curve, source, interior):
-        return mh_qfs(curve, source, interior, self.k)
+    def _make_qfs(self, curve, source, interior, build_u2s: bool = True):
+        return mh_qfs(curve, source, interior, self.k, build_u2s=build_u2s)
 
     def _make_qfs_slp_only(self, curve, source, interior):
         return mh_qfs(curve, source, interior, self.k, slp=True, dlp=False)

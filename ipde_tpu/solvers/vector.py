@@ -37,7 +37,8 @@ _HIGH = jax.lax.Precision.HIGHEST
 
 
 def stokes_qfs(curve, source, interior: bool, slp: bool = True,
-               dlp: bool = True, rcond: float = 1e-15) -> QFSEvaluator:
+               dlp: bool = True, rcond: float = 1e-15,
+               build_u2s: bool = True) -> QFSEvaluator:
     """QFS maps for the Stokes velocity layer potentials (2-vector packed).
 
     The source-to-curve matrix carries the rank-1 normal-flux completion
@@ -52,11 +53,11 @@ def stokes_qfs(curve, source, interior: bool, slp: bool = True,
         forms.append(sk.stokes_dlp_self(curve) + jump * np.eye(2 * curve.N))
     A = (sk.stokes_slp_naive(source, curve.x, curve.y)
          + sk.stokes_pressure_fix(source, curve.normal_x, curve.normal_y))
-    return QFSEvaluator(source, curve, forms, A, rcond)
+    return QFSEvaluator(source, curve, forms, A, rcond, build_u2s=build_u2s)
 
 
 class _StokesHelper:
-    def __init__(self, solver, ebdy: EmbeddedBoundary):
+    def __init__(self, solver, ebdy: EmbeddedBoundary, multi: bool = True):
         self.ebdy = ebdy
         self.interior = ebdy.interior
         geom = AnnularGeometry(ebdy.bdy.N, ebdy.M, ebdy.lb, ebdy.ub,
@@ -68,10 +69,16 @@ class _StokesHelper:
             "interface", interior_eval=self.interior)
         self.radial_source = ebdy.qfs_source_for_side(
             "interface", interior_eval=not self.interior)
-        self.qfs_g = stokes_qfs(ifc, self.grid_source, self.interior)
-        self.qfs_r = stokes_qfs(ifc, self.radial_source, not self.interior)
-        self.own_src_to_ifc = jnp.asarray(
+        # multi-body-only plans (u2s adjustment + own-source matrix are
+        # skipped in the single-boundary correct shortcut: ~1.5 GB of HBM
+        # at nb=2700)
+        self.qfs_g = stokes_qfs(ifc, self.grid_source, self.interior,
+                                build_u2s=False)
+        self.qfs_r = stokes_qfs(ifc, self.radial_source, not self.interior,
+                                build_u2s=multi)
+        self.own_src_to_ifc = (jnp.asarray(
             sk.stokes_slp_naive(self.grid_source, ifc.x, ifc.y))
+            if multi else None)
         # estimator rows + radial derivative machinery
         self.f_to_bdy = jnp.asarray(ebdy.interp_f_to_bdy)
         self.f_to_ifc = jnp.asarray(ebdy.interp_f_to_interface)
@@ -197,7 +204,8 @@ class StokesSolver:
         if ebdyc.bumpy is None:
             ebdyc.ready_bump()
         self.grid_backend = grid_backend
-        self.helpers = [_StokesHelper(self, e) for e in ebdyc]
+        multi = len(ebdyc.ebdys) > 1
+        self.helpers = [_StokesHelper(self, e, multi=multi) for e in ebdyc]
         gx = np.concatenate([h.grid_source.x for h in self.helpers])
         gy = np.concatenate([h.grid_source.y for h in self.helpers])
         gw = np.concatenate([h.grid_source.weights for h in self.helpers])

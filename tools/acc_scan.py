@@ -72,6 +72,13 @@ def main():
                      np.abs(vg - np.asarray(va.grid))[phys].max())
             re = max(np.abs(ur - np.asarray(ua.radials[0])).max(),
                      np.abs(vr - np.asarray(va.radials[0])).max())
+            if os.environ.get("SCAN_DETAIL"):
+                eu = np.abs(ur - np.asarray(ua.radials[0]))
+                ev = np.abs(vr - np.asarray(va.radials[0]))
+                print("per-row radial err (row 0 = lb side):", flush=True)
+                for i in range(eu.shape[0]):
+                    print(f"  row {i:2d}: u {eu[i].max():.2e} "
+                          f"v {ev[i].max():.2e}", flush=True)
         else:
             sol = lambda x, y: -np.cos(x) * np.exp(np.sin(x)) * np.sin(y)
             frc = lambda x, y: ((2.0 * np.cos(x) + 3.0 * np.cos(x) * np.sin(x)
