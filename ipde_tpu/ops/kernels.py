@@ -77,14 +77,30 @@ def accurate_log(x):
     return l0 + (e - 0.5 * e * e)
 
 
+def kernel_matvec(A, q):
+    """A @ q for on-the-fly kernel matrices, TPU-safe.
+
+    The TPU's emulated-f64 dot_general loses ~2^-24-scale ABSOLUTE
+    accuracy for certain operand data: real 4096x8100 BIE kernel applies
+    measured 3e-7 off while random data of the same shapes/magnitudes
+    stays at 1e-15, and the failure tracks the operands' EXPONENT
+    alignment (rescaling q by 2^7 or 2^9 fixes a case that 2^8 does not).
+    The elementwise-multiply + reduce contraction on the VPU is exact
+    (1.3e-14 on every failing case) AND ~1.5x faster here -- these
+    contractions are memory-bound, so the MXU path buys nothing."""
+    if jax.default_backend() != "tpu":
+        return jnp.matmul(A, q, precision=_HIGH)
+    return jnp.sum(A * q[None, :], axis=1)
+
+
 def laplace_slp_apply(sx, sy, weighted_charge, tx, ty):
     """sum_j -log|x - s_j| / (2 pi) * q_j at each target."""
     def chunk(cx, cy):
         dx = cx[:, None] - sx[None, :]
         dy = cy[:, None] - sy[None, :]
         r2 = dx * dx + dy * dy
-        return jnp.matmul(-accurate_log(r2), weighted_charge,
-                          precision=_HIGH) / (4 * jnp.pi)
+        return kernel_matvec(-accurate_log(r2),
+                             weighted_charge) / (4 * jnp.pi)
     return _chunked(chunk, jnp.asarray(tx), jnp.asarray(ty), S=sx.shape[0])
 
 
@@ -94,8 +110,8 @@ def laplace_slp_grad_apply(sx, sy, weighted_charge, tx, ty):
         dx = cx[:, None] - sx[None, :]
         dy = cy[:, None] - sy[None, :]
         ir2 = 1.0 / (dx * dx + dy * dy)
-        gx = jnp.matmul(-dx * ir2, weighted_charge, precision=_HIGH) / (2 * jnp.pi)
-        gy = jnp.matmul(-dy * ir2, weighted_charge, precision=_HIGH) / (2 * jnp.pi)
+        gx = kernel_matvec(-dx * ir2, weighted_charge) / (2 * jnp.pi)
+        gy = kernel_matvec(-dy * ir2, weighted_charge) / (2 * jnp.pi)
         return gx, gy
     return _chunked(chunk, jnp.asarray(tx), jnp.asarray(ty), S=sx.shape[0])
 
@@ -111,8 +127,8 @@ def mh_slp_apply(sx, sy, weighted_charge, tx, ty, k: float):
         dx = cx[:, None] - sx[None, :]
         dy = cy[:, None] - sy[None, :]
         z = k * jnp.sqrt(dx * dx + dy * dy)
-        return jnp.matmul(bessel_k0(z), weighted_charge,
-                          precision=_HIGH) / (2 * jnp.pi)
+        return kernel_matvec(bessel_k0(z),
+                             weighted_charge) / (2 * jnp.pi)
     return _chunked(chunk, jnp.asarray(tx), jnp.asarray(ty), S=sx.shape[0])
 
 

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ipde_tpu.geometry.curve import BoundaryCurve
-from ipde_tpu.ops.kernels import accurate_log
+from ipde_tpu.ops.kernels import accurate_log, kernel_matvec
 from ipde_tpu.ops.singular import log_quad_circulant
 
 _HIGH = jax.lax.Precision.HIGHEST
@@ -169,7 +169,7 @@ def stokes_slp_apply(sx, sy, wfx, wfy, tx, ty):
         r2 = dx * dx + dy * dy
         ilr = -0.5 * accurate_log(r2)
         ir2 = 1.0 / r2
-        mm = lambda A, q: jnp.matmul(A, q, precision=_HIGH)
+        mm = kernel_matvec      # TPU-safe contraction (see ops/kernels.py)
         u = (mm(ilr + dx * dx * ir2, wfx) + mm(dx * dy * ir2, wfy)) / (4 * jnp.pi)
         v = (mm(dx * dy * ir2, wfx) + mm(ilr + dy * dy * ir2, wfy)) / (4 * jnp.pi)
         p = (mm(dx * ir2, wfx) + mm(dy * ir2, wfy)) / (2 * jnp.pi)

@@ -20,7 +20,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from ipde_tpu.ops.kernels import accurate_log
+from ipde_tpu.ops.kernels import accurate_log, kernel_matvec
 
 _HIGH = jax.lax.Precision.HIGHEST
 
@@ -47,8 +47,8 @@ def sharded_laplace_slp_apply(mesh: Mesh, sx, sy, weighted_charge, tx, ty,
     def local(sx_, sy_, q_, ctx, cty):
         dx = ctx[:, None] - sx_[None, :]
         dy = cty[:, None] - sy_[None, :]
-        return jnp.matmul(-accurate_log(dx * dx + dy * dy), q_,
-                          precision=_HIGH) / (4 * jnp.pi)
+        return kernel_matvec(-accurate_log(dx * dx + dy * dy),
+                             q_) / (4 * jnp.pi)
 
     f = shard_map(local, mesh=mesh,
                   in_specs=(P(), P(), P(), P(axis), P(axis)),
@@ -72,7 +72,7 @@ def sharded_mh_slp_apply(mesh: Mesh, sx, sy, weighted_charge, tx, ty,
         dx = ctx[:, None] - sx_[None, :]
         dy = cty[:, None] - sy_[None, :]
         z = k * jnp.sqrt(dx * dx + dy * dy)
-        return jnp.matmul(bessel_k0(z), q_, precision=_HIGH) / (2 * jnp.pi)
+        return kernel_matvec(bessel_k0(z), q_) / (2 * jnp.pi)
 
     f = shard_map(local, mesh=mesh,
                   in_specs=(P(), P(), P(), P(axis), P(axis)),
@@ -98,13 +98,13 @@ def sharded_stokes_slp_apply(mesh: Mesh, sx, sy, wfx, wfy, tx, ty,
         r2 = dx * dx + dy * dy
         ir2 = 1.0 / r2
         logr = 0.5 * accurate_log(r2)
-        u = (jnp.matmul(-logr + dx * dx * ir2, fx_, precision=_HIGH)
-             + jnp.matmul(dx * dy * ir2, fy_, precision=_HIGH)) / (4 * jnp.pi)
-        v = (jnp.matmul(dx * dy * ir2, fx_, precision=_HIGH)
-             + jnp.matmul(-logr + dy * dy * ir2, fy_, precision=_HIGH)) \
+        u = (kernel_matvec(-logr + dx * dx * ir2, fx_)
+             + kernel_matvec(dx * dy * ir2, fy_)) / (4 * jnp.pi)
+        v = (kernel_matvec(dx * dy * ir2, fx_)
+             + kernel_matvec(-logr + dy * dy * ir2, fy_)) \
             / (4 * jnp.pi)
-        p = (jnp.matmul(dx * ir2, fx_, precision=_HIGH)
-             + jnp.matmul(dy * ir2, fy_, precision=_HIGH)) / (2 * jnp.pi)
+        p = (kernel_matvec(dx * ir2, fx_)
+             + kernel_matvec(dy * ir2, fy_)) / (2 * jnp.pi)
         return u, v, p
 
     f = shard_map(local, mesh=mesh,
@@ -128,8 +128,8 @@ def source_sharded_laplace_slp_apply(mesh: Mesh, sx, sy, weighted_charge,
     def local(sx_, sy_, q_, ctx, cty):
         dx = ctx[:, None] - sx_[None, :]
         dy = cty[:, None] - sy_[None, :]
-        part = jnp.matmul(-accurate_log(dx * dx + dy * dy), q_,
-                          precision=_HIGH) / (4 * jnp.pi)
+        part = kernel_matvec(-accurate_log(dx * dx + dy * dy),
+                             q_) / (4 * jnp.pi)
         return jax.lax.psum(part, axis)
 
     f = shard_map(local, mesh=mesh,
