@@ -234,6 +234,9 @@ class FourierPlan2D:
             return jnp.fft.irfft(z[:, :ny_out], n=self.nx,
                                  axis=0)[:nx_out]
         d = self._ty.ifft_trunc(Cx(c.re.T, c.im.T), ny_out)
+        # four-step ifft_trunc returns ceil(ny_out/n1)*n1 rows; slice to
+        # exactly ny_out before the x-pass so the output width is ny_out
+        d = Cx(d.re[:ny_out], d.im[:ny_out])
         return self._tx.irfft_packed(Cx(d.re.T, d.im.T),
                                      n_out=nx_out)[:nx_out]
 

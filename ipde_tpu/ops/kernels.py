@@ -72,6 +72,9 @@ def accurate_log(x):
     """
     if jax.default_backend() != "tpu":
         return jnp.log(x)
+    # clamp below the f32 subnormal range: x=0 (coincident target/source in
+    # a masked lane) would give an -inf f32 seed and then NaN from x*exp(inf)
+    x = jnp.maximum(x, 1e-30)
     l0 = jnp.log(x.astype(jnp.float32)).astype(jnp.float64)
     e = x * jnp.exp(-l0) - 1.0
     return l0 + (e - 0.5 * e * e)

@@ -329,9 +329,14 @@ class StokesSolver:
                 "annular_residuals": jnp.stack(
                     [s["residual"] for s in stats_list]),
             }
+        # NOTE: under jit (stats are tracers) the per-boundary iteration
+        # attributes cannot be updated; they are only valid on eager solves.
         it = stats["annular_iterations"]
         if not isinstance(it, jax.core.Tracer):
             self.iteration_counts = [int(v) for v in np.asarray(it)]
+            counts = np.atleast_1d(np.asarray(it))
+            for h, c in zip(self.helpers, counts):
+                h.iterations_last_call = int(c)
         if verbose:
             print("annular Stokes iterations:", self.iteration_counts)
         # merged sigma_g evaluation onto pna + interfaces

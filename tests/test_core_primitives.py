@@ -70,6 +70,23 @@ def test_rfft2_half_spectrum_matches_numpy():
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-12)
 
 
+def test_irfft2_real_corner_truncation():
+    # regression: four-step ifft_trunc returns ceil(n_out/n1)*n1 rows; the
+    # y-pass must be sliced to ny_out before the x-pass or the corner output
+    # has extra columns (advisor r2, high). (32, 288) with ny_out=125:
+    # 288's four-step factor n1 does not divide 125.
+    rng = np.random.default_rng(3)
+    for (nx, ny), (nxo, nyo) in [((32, 288), (20, 125)),
+                                 ((320, 288), (200, 125)),
+                                 ((24, 32), (20, 30))]:
+        x = rng.standard_normal((nx, ny))
+        plan = FourierPlan2D(nx, ny, native=False)
+        c = plan.rfft2(jnp.asarray(x))
+        got = plan.irfft2_real_corner(c, nxo, nyo)
+        assert got.shape == (nxo, nyo)
+        np.testing.assert_allclose(np.asarray(got), x[:nxo, :nyo], atol=1e-12)
+
+
 def test_fft2_solve_symbol_poisson():
     # periodic Poisson solve on [0, 2pi)^2
     n = 64
