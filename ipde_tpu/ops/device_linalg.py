@@ -1,0 +1,289 @@
+"""Blocked dense factorizations on the accelerator (setup-time linear algebra).
+
+The reference outsources its setup factorizations to LAPACK on a workstation
+(QFS pseudo-inverses via ``scipy.linalg.lstsq``; BIE inverses via
+``numpy.linalg.inv`` -- ipde's qfs package and example drivers).  On this
+target the host has ONE weak core while the TPU does ~1.3 TFLOP/s of f64
+matmul, so an nb=2700 Stokes setup spends 500+ s in host LAPACK.  These
+routines run the O(n^3) work on the device instead.
+
+Design (shaped by the axon-tunnel environment, see PROGRESS.md):
+  * Python-level blocking over EAGER jax ops.  Each distinct (op, shape)
+    compiles once per process (~1-3 s); block positions are passed as
+    device scalars through ``lax.dynamic_slice`` so every iteration reuses
+    the same executable.  A whole-algorithm jit would pay a 30-60 s tunnel
+    compile per shape.
+  * Diagonal-block factorizations (256 x 256) happen on HOST via tiny
+    transfers: numpy does a 256^3 Cholesky/LU in ~2 ms, far below the cost
+    (and compile latency) of a sequential on-device kernel.
+  * No pivoting in the blocked LU: its consumers are second-kind BIE
+    systems (I/2 + compact), which are well conditioned; callers can run
+    iterative refinement with exact (multiply+reduce) matvecs on top.
+
+Accuracy note: TPU f64 matmuls carry ~1e-15 x operand-norm roundoff and
+the known erratic dot_general issue does NOT trigger on these Gram/compose
+shapes (measured, tools/matmul_probe.py).  Factorization quality is
+validated against LAPACK in tests/test_device_linalg.py.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_HIGH = jax.lax.Precision.HIGHEST
+BLOCK = 256
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HIGH)
+
+
+def _pad_to_blocks(n: int, block: int) -> int:
+    return -(-n // block) * block
+
+
+def _pad_spd(G, npad: int):
+    """Pad an SPD matrix to (npad, npad) with an identity tail block."""
+    n = G.shape[0]
+    if npad == n:
+        return G
+    Gp = jnp.zeros((npad, npad), G.dtype)
+    Gp = jax.lax.dynamic_update_slice(Gp, G, (jnp.int32(0), jnp.int32(0)))
+    idx = jnp.arange(npad)
+    tail = jnp.where(idx >= n, 1.0, 0.0)
+    return Gp + jnp.diag(tail)
+
+
+class CholFactor:
+    """Lower Cholesky factor of a padded SPD matrix, with device mirrors of
+    the per-block inverse diagonal factors (consumed by the blocked
+    triangular solves)."""
+
+    def __init__(self, L, diag_invs: List, n: int, block: int):
+        self.L = L
+        self.diag_invs = diag_invs
+        self.n = n
+        self.block = block
+        self.npad = L.shape[0]
+
+
+def cholesky_blocked(G, block: int = BLOCK) -> CholFactor:
+    """Blocked right-looking Cholesky of SPD ``G`` on the device.
+
+    Returns a CholFactor with L lower triangular (padded size).  Raises
+    np.linalg.LinAlgError if a diagonal block is not positive definite
+    (surface the failure rather than silently regularizing)."""
+    import scipy.linalg as sla
+    n = G.shape[0]
+    npad = _pad_to_blocks(n, block)
+    nblk = npad // block
+    work = _pad_spd(jnp.asarray(G), npad)
+    ridx = jnp.arange(npad)
+    cols = []
+    diag_invs = []
+    eyeb = np.eye(block)
+    for kb in range(nblk):
+        j0 = jnp.int32(kb * block)
+        Gkk = np.asarray(jax.lax.dynamic_slice(work, (j0, j0),
+                                               (block, block)))
+        Lkk = np.linalg.cholesky(Gkk)
+        Likk = sla.solve_triangular(Lkk, eyeb, lower=True)
+        dLikk = jnp.asarray(Likk)
+        diag_invs.append(dLikk)
+        pan = jax.lax.dynamic_slice(work, (jnp.int32(0), j0), (npad, block))
+        Lp = _mm(pan, dLikk.T)
+        below = (ridx >= (kb + 1) * block)[:, None]
+        Lbelow = jnp.where(below, Lp, 0.0)
+        col = jax.lax.dynamic_update_slice(Lbelow, jnp.asarray(Lkk), (j0, jnp.int32(0)))
+        cols.append(col)
+        if kb + 1 < nblk:
+            work = work - _mm(Lbelow, Lbelow.T)
+    L = jnp.concatenate(cols, axis=1)
+    return CholFactor(L, diag_invs, n, block)
+
+
+def _pad_rows(Bmat, npad: int):
+    b = jnp.asarray(Bmat)
+    if b.ndim == 1:
+        b = b[:, None]
+    if b.shape[0] == npad:
+        return b
+    Z = jnp.zeros((npad, b.shape[1]), b.dtype)
+    return jax.lax.dynamic_update_slice(Z, b, (jnp.int32(0), jnp.int32(0)))
+
+
+def solve_lower(F: CholFactor, Bmat):
+    """X with L X = B (rows of B beyond F.n are treated as zero)."""
+    L, npad, block = F.L, F.npad, F.block
+    nblk = npad // block
+    cidx = jnp.arange(npad)[None, :]
+    X = _pad_rows(Bmat, npad)
+    for kb in range(nblk):
+        j0 = jnp.int32(kb * block)
+        Lrow = jax.lax.dynamic_slice(L, (j0, jnp.int32(0)), (block, npad))
+        Lrow = jnp.where(cidx < j0, Lrow, 0.0)
+        acc = _mm(Lrow, X)
+        Xkb = jax.lax.dynamic_slice(X, (j0, jnp.int32(0)),
+                                    (block, X.shape[1]))
+        Xkb = _mm(F.diag_invs[kb], Xkb - acc)
+        X = jax.lax.dynamic_update_slice(X, Xkb, (j0, jnp.int32(0)))
+    return X
+
+
+def solve_lower_t(F: CholFactor, Bmat):
+    """X with L^T X = B (backward pass)."""
+    L, npad, block = F.L, F.npad, F.block
+    nblk = npad // block
+    cidx = jnp.arange(npad)[None, :]
+    X = _pad_rows(Bmat, npad)
+    for kb in range(nblk - 1, -1, -1):
+        j0 = jnp.int32(kb * block)
+        # (L^T)[kb-row-panel, :] = L[:, kb-cols]^T; strict part masked to
+        # columns >= (kb+1) block
+        Lcol = jax.lax.dynamic_slice(L, (jnp.int32(0), j0), (npad, block))
+        LrowT = jnp.where(cidx >= (kb + 1) * block, Lcol.T, 0.0)
+        acc = _mm(LrowT, X)
+        Xkb = jax.lax.dynamic_slice(X, (j0, jnp.int32(0)),
+                                    (block, X.shape[1]))
+        Xkb = _mm(F.diag_invs[kb].T, Xkb - acc)
+        X = jax.lax.dynamic_update_slice(X, Xkb, (j0, jnp.int32(0)))
+    return X
+
+
+def spd_solve(F: CholFactor, Bmat):
+    """G^{-1} B through the Cholesky factor; output clipped to F.n rows."""
+    X = solve_lower_t(F, solve_lower(F, Bmat))
+    out = X[: F.n]
+    return out[:, 0] if np.ndim(Bmat) == 1 else out
+
+
+# ---------------------------------------------------------------------------
+# blocked LU (no pivoting) + explicit inverse, for second-kind BIE systems
+# ---------------------------------------------------------------------------
+
+def _lu_nopivot_host(A: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Dense no-pivot LU of a small block on host (vectorized over rows)."""
+    n = A.shape[0]
+    U = A.copy()
+    L = np.eye(n)
+    for j in range(n - 1):
+        piv = U[j, j]
+        m = U[j + 1:, j] / piv
+        L[j + 1:, j] = m
+        U[j + 1:, j:] -= m[:, None] * U[j, j:][None, :]
+        U[j + 1:, j] = 0.0
+    return L, U
+
+
+def lu_inverse_blocked(A, block: int = BLOCK):
+    """Explicit inverse of a well-conditioned square matrix via blocked
+    no-pivot LU on the device.  Intended for second-kind BIE matrices
+    (jump/2 + compact operator): diagonal dominance makes no-pivot LU
+    stable there; consumers add iterative refinement at apply time."""
+    import scipy.linalg as sla
+    A = jnp.asarray(A)
+    n = A.shape[0]
+    npad = _pad_to_blocks(n, block)
+    nblk = npad // block
+    work = _pad_spd(A, npad)      # identity tail keeps the LU well posed
+    ridx = jnp.arange(npad)[:, None]
+    cidx = jnp.arange(npad)[None, :]
+    eyeb = np.eye(block)
+    Lcols = []
+    Urows = []
+    Li_diag = []
+    Ui_diag = []
+    for kb in range(nblk):
+        j0 = jnp.int32(kb * block)
+        Akk = np.asarray(jax.lax.dynamic_slice(work, (j0, j0),
+                                               (block, block)))
+        Lkk, Ukk = _lu_nopivot_host(Akk)
+        Likk = sla.solve_triangular(Lkk, eyeb, lower=True, unit_diagonal=True)
+        Uikk = sla.solve_triangular(Ukk, eyeb, lower=False)
+        dLikk, dUikk = jnp.asarray(Likk), jnp.asarray(Uikk)
+        Li_diag.append(dLikk)
+        Ui_diag.append(dUikk)
+        # row panel of U: Likk @ A[kb, :] (strict right part)
+        Arow = jax.lax.dynamic_slice(work, (j0, jnp.int32(0)), (block, npad))
+        Urow = _mm(dLikk, Arow)
+        Urow = jnp.where(cidx >= (kb + 1) * block, Urow, 0.0)
+        # col panel of L: A[:, kb] @ Uikk (strict below part)
+        Acol = jax.lax.dynamic_slice(work, (jnp.int32(0), j0), (npad, block))
+        Lcol = _mm(Acol, dUikk)
+        Lcol = jnp.where(ridx >= (kb + 1) * block, Lcol, 0.0)
+        # store full panels incl. the diagonal factors
+        Urow_full = jax.lax.dynamic_update_slice(Urow, jnp.asarray(Ukk),
+                                                 (jnp.int32(0), j0))
+        Lcol_full = jax.lax.dynamic_update_slice(Lcol, jnp.asarray(Lkk),
+                                                 (j0, jnp.int32(0)))
+        Lcols.append(Lcol_full)
+        Urows.append(Urow_full)
+        if kb + 1 < nblk:
+            work = work - _mm(Lcol, Urow)
+    L = jnp.concatenate(Lcols, axis=1)
+    U = jnp.concatenate(Urows, axis=0)
+    # Ainv = U^{-1} (L^{-1} I): forward then backward blocked solves
+    X = jnp.eye(npad, dtype=A.dtype)
+    for kb in range(nblk):
+        j0 = jnp.int32(kb * block)
+        Lrow = jax.lax.dynamic_slice(L, (j0, jnp.int32(0)), (block, npad))
+        Lrow = jnp.where(cidx < j0, Lrow, 0.0)
+        acc = _mm(Lrow, X)
+        Xkb = jax.lax.dynamic_slice(X, (j0, jnp.int32(0)), (block, npad))
+        Xkb = _mm(Li_diag[kb], Xkb - acc)
+        X = jax.lax.dynamic_update_slice(X, Xkb, (j0, jnp.int32(0)))
+    for kb in range(nblk - 1, -1, -1):
+        j0 = jnp.int32(kb * block)
+        Urow = jax.lax.dynamic_slice(U, (j0, jnp.int32(0)), (block, npad))
+        Urow = jnp.where(cidx >= (kb + 1) * block, Urow, 0.0)
+        acc = _mm(Urow, X)
+        Xkb = jax.lax.dynamic_slice(X, (j0, jnp.int32(0)), (block, npad))
+        Xkb = _mm(Ui_diag[kb], Xkb - acc)
+        X = jax.lax.dynamic_update_slice(X, Xkb, (j0, jnp.int32(0)))
+    return X[:n, :n]
+
+
+# ---------------------------------------------------------------------------
+# QFS min-norm pseudo-inverse composition
+# ---------------------------------------------------------------------------
+
+def minnorm_compose(A, forms: Sequence, lam_rel: float = 0.0,
+                    refine: int = 1, block: int = BLOCK):
+    """Maps M_i = A^+ F_i for a WIDE full-row-rank system A (m, n) via the
+    min-norm normal equations  A^+ = A^T (A A^T)^{-1}  with device-blocked
+    Cholesky, plus optional iterative refinement of each map:
+
+        R = F - A M;   M += A^T G^{-1} R
+
+    which cancels the first-order factorization/roundoff error (residuals
+    are computed in working f64 on operands of ORIGINAL scale, so the
+    correction is accurate where it matters).
+
+    The role of LAPACK ``gelsy`` truncation at rcond=1e-15 is played by the
+    min-norm structure itself: QFS systems here are graded to cond(A) ~
+    1e3..1e5 (source shift 1.5 spacings), so G = A A^T has cond <= 1e10,
+    comfortably inside f64 Cholesky territory.  lam_rel > 0 adds Tikhonov
+    damping lam_rel * mean(diag G) for harder geometries.
+
+    A and forms may be numpy or device arrays; returns device maps (n, m).
+    """
+    A = jnp.asarray(A)
+    G = _mm(A, A.T)
+    if lam_rel:
+        m = G.shape[0]
+        lam = lam_rel * float(jnp.trace(G) / m)
+        G = G + lam * jnp.eye(m, dtype=G.dtype)
+    F = cholesky_blocked(G, block=block)
+    maps = []
+    for Bf in forms:
+        Bf = jnp.asarray(Bf)
+        M = _mm(A.T, spd_solve(F, Bf))
+        for _ in range(refine):
+            R = Bf - _mm(A, M)
+            M = M + _mm(A.T, spd_solve(F, R))
+        maps.append(M)
+    return maps

@@ -35,8 +35,47 @@ from ipde_tpu.ops.cx import Cx
 from ipde_tpu.ops.fourier import FourierPlan2D
 from ipde_tpu.ops.interp import _es_kernel, _es_kernel_ft_table, \
     _lagrange_weights
+from ipde_tpu.ops.kernels import (accurate_log, bessel_j0, bessel_j1,
+                                  bessel_j2, bessel_k0)
 
 _HIGH = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# device symbol evaluation (setup): the padded-grid symbol arrays are a few
+# 10^6 Bessel evaluations -- 30-60 s of scipy on the single weak host core at
+# bench sizes, ~ms of VPU work via the device J implementations.
+# ---------------------------------------------------------------------------
+
+def laplace_truncated_symbol_dev(kk, L: float):
+    """Device twin of laplace_truncated_symbol (same formulas, jnp)."""
+    kk = jnp.asarray(kk)
+    nz = kk > 0
+    ks = jnp.where(nz, kk, 1.0)
+    z = ks * L
+    val = ((1.0 - bessel_j0(z)) - z * np.log(L) * bessel_j1(z)) / (ks * ks)
+    return jnp.where(nz, val, -(L**2 / 2.0) * (np.log(L) - 0.5))
+
+
+def yukawa_truncated_symbol_dev(kk, L: float, kappa: float):
+    from scipy.special import k0 as K0h, k1 as K1h
+    kk = jnp.asarray(kk)
+    z = kk * L
+    k0L = float(K0h(kappa * L))
+    k1L = float(K1h(kappa * L))
+    return ((1.0 + z * bessel_j1(z) * k0L
+             - kappa * L * bessel_j0(z) * k1L) / (kk**2 + kappa**2))
+
+
+def biharmonic_truncated_symbol_dev(kk, L: float):
+    kk = jnp.asarray(kk)
+    nz = kk > 0
+    ks = jnp.where(nz, kk, 1.0)
+    z = ks * L
+    J0z, J1z, J2z = bessel_j0(z), bessel_j1(z), bessel_j2(z)
+    val = ((np.log(L) - 1.0) * (z**3 * J1z - 2.0 * z**2 * J2z)
+           - z**2 * J2z + 4.0 * (1.0 - J0z) - 2.0 * z * J1z) / (4.0 * ks**4)
+    return jnp.where(nz, val, L**4 * (4.0 * np.log(L) - 5.0) / 64.0)
 
 
 def laplace_truncated_symbol(kk: np.ndarray, L: float) -> np.ndarray:
@@ -180,6 +219,80 @@ def _radial_hankel_tables(symfn, kmax: float, L_eff: float, r_max: float,
             vals[s:s + chunk] = m(k[None, :], rr[:, None]) @ base
         out.append(RadialTable(r_nodes, vals))
     return out
+
+
+class RadialTableDev:
+    """Device twin of RadialTable: order-p barycentric evaluation of a
+    uniformly tabulated radial function, as eager jnp ops (gather + O(p)
+    passes).  Table values live on the device; millions of offsets evaluate
+    in ~ms with no per-shape jit compile."""
+
+    def __init__(self, r_nodes: np.ndarray, values, order: int = 8):
+        self.r0 = float(r_nodes[0])
+        self.dr = float(r_nodes[1] - r_nodes[0])
+        self.tab = jnp.asarray(values)
+        self.order = order
+        from scipy.special import comb
+        j = np.arange(order)
+        self.lam = jnp.asarray(((-1.0) ** j) * comb(order - 1, j))
+
+    def __call__(self, r):
+        r = jnp.asarray(r)
+        shape = r.shape
+        r = r.ravel()
+        k = self.order
+        half = (k - 1) // 2
+        t = (r - self.r0) / self.dr
+        j = jnp.clip(jnp.floor(t).astype(jnp.int32) - half, 0,
+                     self.tab.shape[0] - k)
+        d = (t - j)[:, None] - jnp.arange(k)[None, :]
+        d = jnp.where(jnp.abs(d) < 1e-12,
+                      jnp.where(d >= 0, 1e-12, -1e-12), d)
+        w = self.lam / d
+        fv = self.tab[j[:, None] + jnp.arange(k)[None, :]]
+        return ((w * fv).sum(axis=1) / w.sum(axis=1)).reshape(shape)
+
+
+def _radial_hankel_tables_dev(symfn_dev, kmax: float, L_eff: float,
+                              r_max: float, moments_dev, ntab: int = 2048):
+    """Device twin of _radial_hankel_tables: the (ntab x K) moment
+    contraction runs on the accelerator with the device Bessel J
+    implementations (the host version costs 30+ s of scipy at bench sizes).
+    Contraction via multiply+reduce (kernel_matvec pattern: TPU dot_general
+    is erratically inaccurate on kernel-like operands)."""
+    npanels = int(np.ceil(kmax * (L_eff + r_max) / (2.0 * np.pi))) + 64
+    k, w = _composite_gl(0.0, kmax, npanels)
+    kd = jnp.asarray(k)
+    base = symfn_dev(kd) * kd * jnp.asarray(w) / (2.0 * np.pi)
+    r_nodes = np.linspace(0.0, r_max, ntab)
+    rd = jnp.asarray(r_nodes)
+    out = []
+    for m in moments_dev:
+        # chunk rows so the (ntab, K) intermediate stays modest
+        chunk = max(1, (1 << 22) // max(k.size, 1))
+        vals = []
+        for s in range(0, ntab, chunk):
+            rr = rd[s:s + chunk]
+            vals.append(jnp.sum(m(kd[None, :], rr[:, None]) * base[None, :],
+                                axis=1))
+        out.append(RadialTableDev(r_nodes, jnp.concatenate(vals)))
+    return out
+
+
+def _m_j0_dev(k, r):
+    return bessel_j0(k * r)
+
+
+def _m_j1_over_z_dev(k, r):
+    z = k * r
+    small = z < 1e-8
+    zz = jnp.where(small, 1.0, z)
+    return k * k * jnp.where(small, 0.5 - z * z / 16.0,
+                             bessel_j1(zz) / zz)
+
+
+def _m_k2_j0_dev(k, r):
+    return k * k * bessel_j0(k * r)
 
 
 def _m_j0(k, r):
@@ -330,16 +443,20 @@ class _EvaluatorBase:
         ker = _es_kernel(xq, beta)
         phx = (np.cos(np.outer(kx, ax * xq)) * (ker * ax * wq)).sum(1)
         phy = (np.cos(np.outer(ky, ay * xq)) * (ker * ay * wq)).sum(1)
+        # device transforms run on the HALF spectrum (rows kx = 0..Px/2);
+        # symbols are real and even so the Hermitian half determines all.
+        # The 2D symbol/deconv arrays are built ON DEVICE from these 1D host
+        # vectors ((nkx, Py) ~ 10^7 entries at bench sizes: neither a host
+        # sweep nor a large upload).
+        self.nkx = Px // 2 + 1
         # (hx hy / (phx phy)) [type-1 deconv] / A [continuous FT norm]
         # * (Px Py) [our ifft2 is unnormalized-sum / (Px Py)]
-        self.deconv = ((hx * hy / (phx[:, None] * phy[None, :]))
-                       / self.A * (Px * Py))
-        self.kxc = kx[:, None]
-        self.kyr = ky[None, :]
-        self.kk = np.hypot(self.kxc, self.kyr)
-        # device transforms run on the HALF spectrum (rows kx = 0..Px/2);
-        # symbols are real and even so the Hermitian half determines all
-        self.nkx = Px // 2 + 1
+        self.deconv_half = (jnp.asarray(hx * hy / phx[: self.nkx])[:, None]
+                            / jnp.asarray(phy)[None, :]
+                            / self.A * (Px * Py))
+        self.kx_half = jnp.asarray(kx[: self.nkx])[:, None]
+        self.ky_row = jnp.asarray(ky)[None, :]
+        self.kk_half = jnp.sqrt(self.kx_half ** 2 + self.ky_row ** 2)
         self.fft_plan = FourierPlan2D(Px, Py)
 
     def _spread(self, q):
@@ -349,31 +466,37 @@ class _EvaluatorBase:
             .reshape(self.Px, self.Py)
 
     def _patch_geometry(self, src_x, src_y, r_cut):
-        """Vectorized near-pair geometry: every source gets one fixed-size
-        P x P patch of grid offsets around its nearest node; cells outside
-        r_cut (or outside the true grid) are masked/cropped."""
+        """Vectorized near-pair geometry ON DEVICE: every source gets one
+        fixed-size P x P patch of grid offsets around its nearest node;
+        cells outside r_cut are masked.  Returns device (S, P, 1), (S, 1, P)
+        offsets + (S, P, P) distances/mask; only the O(S) nearest-node
+        integers are computed on host."""
         grid = self.grid
         hx, hy = grid.xh, grid.yh
         wc = int(np.ceil(r_cut / min(hx, hy))) + 1
         P = 2 * wc + 1
         self.patch_P = P
         self.margin = wc
+        # analytic table bound: source-to-patch-cell distance is at most
+        # (wc + 1/2) h per axis (sources live inside the grid)
+        self.r_tab_max = float(np.hypot((wc + 1.0) * hx, (wc + 1.0) * hy))
         six = np.clip(np.round((src_x - grid.x_bounds[0]) / hx).astype(int),
                       0, grid.Nx - 1)
         siy = np.clip(np.round((src_y - grid.y_bounds[0]) / hy).astype(int),
                       0, grid.Ny - 1)
         loc = np.arange(P) - wc
-        dx = (six[:, None] + loc[None, :]) * hx + grid.x_bounds[0] \
-            - src_x[:, None]                       # (S, P)
-        dy = (siy[:, None] + loc[None, :]) * hy + grid.y_bounds[0] \
-            - src_y[:, None]
-        rr = np.hypot(dx[:, :, None], dy[:, None, :])   # (S, P, P)
-        mask = (rr <= r_cut) & (rr > 1e-13)
         # patch origin in the EXTENDED (margin-padded) grid
         self.patch_x0 = jnp.asarray(six, jnp.int32)
         self.patch_y0 = jnp.asarray(siy, jnp.int32)
-        return dx[:, :, None] + 0.0 * dy[:, None, :], \
-            dy[:, None, :] + 0.0 * dx[:, :, None], rr, mask
+        locx = jnp.asarray(loc * hx)
+        locy = jnp.asarray(loc * hy)
+        nodex = jnp.asarray(six * hx + grid.x_bounds[0] - src_x)
+        nodey = jnp.asarray(siy * hy + grid.y_bounds[0] - src_y)
+        dx = nodex[:, None] + locx[None, :]            # (S, P)
+        dy = nodey[:, None] + locy[None, :]
+        rr = jnp.sqrt(dx[:, :, None] ** 2 + dy[:, None, :] ** 2)  # (S, P, P)
+        mask = (rr <= r_cut) & (rr > 1e-13)
+        return dx[:, :, None], dy[:, None, :], rr, mask
 
     def _apply_patches(self, grids, patch_stacks):
         """Add per-source P x P patches to each grid in ``grids``.
@@ -428,32 +551,29 @@ class FreespaceGridEvaluator(_EvaluatorBase):
         L, eta = self.L, self.eta
         kap2 = kappa**2 if kernel == "yukawa" else 0.0
         if kernel == "laplace":
-            symf = lambda k: (laplace_truncated_symbol(k, L)
-                              * np.exp(-(k**2) / (4 * eta**2)))
-            gfun = lambda r: -np.log(np.maximum(r, 1e-300)) / (2 * np.pi)
+            symf = lambda k: (laplace_truncated_symbol_dev(k, L)
+                              * jnp.exp(-(k**2) / (4 * eta**2)))
+            gfun = lambda r: -accurate_log(r) / (2 * np.pi)
         elif kernel == "yukawa":
             # exact Ewald screen for the Yukawa operator: the complementary
             # near part is then exponentially localized (a plain Gaussian
             # blur is exact only for HARMONIC kernels)
-            symf = lambda k: (yukawa_truncated_symbol(k, L, kappa)
-                              * np.exp(-(k**2 + kap2) / (4 * eta**2)))
-            gfun = lambda r: K0(kappa * np.maximum(r, 1e-300)) / (2 * np.pi)
+            symf = lambda k: (yukawa_truncated_symbol_dev(k, L, kappa)
+                              * jnp.exp(-(k**2 + kap2) / (4 * eta**2)))
+            gfun = lambda r: bessel_k0(kappa * r) / (2 * np.pi)
         else:
             raise ValueError(kernel)
-        self.mult = jnp.asarray((symf(self.kk) * self.deconv)[: self.nkx])
-        # ---- near corrections (radial table of the band-limited kernel) --
+        self.mult = symf(self.kk_half) * self.deconv_half
+        # ---- near corrections (radial table of the band-limited kernel,
+        # everything device: geometry, table, exact kernel, mask) ----------
         hx, hy = grid.xh, grid.yh
         r_cut = r_cut_h * max(hx, hy)
         dx, dy, rr, mask = self._patch_geometry(src_x, src_y, r_cut)
         kmax = 12.0 * eta
-        (T,) = _radial_hankel_tables(symf, kmax, L, rr.max() * 1.0001,
-                                     [_m_j0])
-        # evaluate only the in-range pairs (the masked-out majority of each
-        # patch never contributes)
-        corr = np.zeros(rr.shape)
-        rs = rr[mask]
-        corr[mask] = gfun(rs) - T(rs)
-        self.patches = jnp.asarray(corr)
+        (T,) = _radial_hankel_tables_dev(symf, kmax, L, self.r_tab_max,
+                                         [_m_j0_dev])
+        rs = jnp.where(mask, rr, 1.0)
+        self.patches = jnp.where(mask, gfun(rs) - T(rs), 0.0)
 
     def __call__(self, q):
         """q: (S,) weighted charges -> (Nx, Ny) potential grid."""
@@ -464,6 +584,90 @@ class FreespaceGridEvaluator(_EvaluatorBase):
         (phi,) = self._apply_patches(
             [phi], [self.patches * q[:, None, None]])
         return phi
+
+
+class PeriodicGridEvaluator(_EvaluatorBase):
+    """phi(grid) = sum over periodic images of G(x - s_j) q_j, the
+    box-PERIODIC counterpart of FreespaceGridEvaluator (reference:
+    ipde/grid_evaluators/scalar_grid_evaluator.py:246-264, the
+    'periodic' branch evaluating the far field with the inverse symbol on
+    the unpadded grid).
+
+    Ewald structure: the far field applies the CONTINUOUS screened symbol
+    on the periodic k-lattice (= the periodic sum of the band-limited
+    kernel T); the near correction adds (G - T)(r) at the static near
+    offsets.  G - T is Gaussian-localized (reach ~ several/eta << box), so
+    only the m=0 image needs correcting -- the same 1D radial table as the
+    free-space evaluator, with the UNtruncated symbol.
+
+    For the Laplace kernel the k=0 mode is pinned to zero: the result is
+    the zero-mean periodic potential, defined when sum(q) = 0 (otherwise
+    it is the standard neutralizing-background convention).
+    """
+
+    def __init__(self, grid: Grid, src_x, src_y, kernel: str = "laplace",
+                 kappa: float = 1.0, w: int = 16, r_cut_h: float = 22.0):
+        src_x = np.asarray(src_x, np.float64).ravel()
+        src_y = np.asarray(src_y, np.float64).ravel()
+        self.S = src_x.size
+        self.kernel = kernel
+        self.grid = grid
+        hx, hy = grid.xh, grid.yh
+        # unpadded periodic box
+        self.Px, self.Py = grid.Nx, grid.Ny
+        self.A = (grid.Nx * hx) * (grid.Ny * hy)
+        self.eta = np.pi / (11.4 * max(hx, hy))
+        self._setup_spreading(src_x, src_y, w)
+        eta = self.eta
+        r_cut = r_cut_h * max(hx, hy)
+        if 2 * r_cut > min(grid.Nx * hx, grid.Ny * hy):
+            raise ValueError("near-correction radius exceeds half the box")
+        dx, dy, rr, mask = self._patch_geometry(src_x, src_y, r_cut)
+        rs = jnp.where(mask, rr, 1.0)
+        if kernel == "laplace":
+            # k=0 is pinned: applied = e^{-k^2/4eta^2}/k^2 over k != 0.
+            # The complement (1 - screen)/k^2 on the k != 0 lattice equals,
+            # by Poisson summation, sum_images Dc(|x + mL|) - Dc_hat(0)/A
+            # with Dc(r) = E1(eta^2 r^2)/(4 pi) (derived from
+            # Dc'(r) = -e^{-eta^2 r^2}/(2 pi r)) and Dc_hat(0) = 1/(4 eta^2).
+            # Images beyond m=0 are e^{-(eta L/2)^2} ~ 0.
+            def symf(k):
+                k = jnp.asarray(k)
+                nzk = jnp.where(k > 0, k, 1.0)
+                return jnp.where(k > 0,
+                                 jnp.exp(-(k**2) / (4 * eta**2)) / nzk**2,
+                                 0.0)
+            from ipde_tpu.ops.kernels import expint_e1
+            corr = expint_e1(eta**2 * rs**2) / (4 * np.pi)
+            self.mean_shift = 1.0 / (4 * eta**2 * self.A)
+        elif kernel == "yukawa":
+            # k=0 is finite: the applied operator is the periodic sum of
+            # the band-limited kernel T; correction = (K0/2pi - T)(r),
+            # Gaussian-localized, via the usual 1D Hankel table.
+            kap2 = kappa**2
+            symf = lambda k: (jnp.exp(-(k**2 + kap2) / (4 * eta**2))
+                              / (k**2 + kap2))
+            kmax = 12.0 * eta
+            (T,) = _radial_hankel_tables_dev(symf, kmax, 0.0,
+                                             self.r_tab_max, [_m_j0_dev])
+            corr = bessel_k0(kappa * rs) / (2 * np.pi) - T(rs)
+            self.mean_shift = 0.0
+        else:
+            raise ValueError(kernel)
+        self.mult = symf(self.kk_half) * self.deconv_half
+        self.patches = jnp.where(mask, corr, 0.0)
+
+    def __call__(self, q):
+        """q: (S,) weighted charges -> (Nx, Ny) zero-mean periodic
+        potential (laplace; exact when sum(q) = 0, neutralizing-background
+        convention otherwise) / periodic Yukawa potential."""
+        spread = self._spread(q)
+        c = self.fft_plan.rfft2(spread)
+        c = Cx(c.re * self.mult, c.im * self.mult)
+        phi = self.fft_plan.irfft2_real(c)[: self.grid.Nx, : self.grid.Ny]
+        (phi,) = self._apply_patches(
+            [phi], [self.patches * q[:, None, None]])
+        return phi - self.mean_shift * jnp.sum(q)
 
 
 class StokesFreespaceGridEvaluator(_EvaluatorBase):
@@ -497,14 +701,14 @@ class StokesFreespaceGridEvaluator(_EvaluatorBase):
         # residual near field is Gaussian-localized (classical 2D spectral
         # Ewald for Stokes).
         screen_v = lambda k: ((1.0 + k**2 / (4 * eta**2))
-                              * np.exp(-(k**2) / (4 * eta**2)))
-        screen = lambda k: np.exp(-(k**2) / (4 * eta**2))
-        bsym = lambda k: biharmonic_truncated_symbol(k, L) * screen_v(k)
-        qsym = lambda k: laplace_truncated_symbol(k, L) * screen(k)
-        self.multB = jnp.asarray((bsym(self.kk) * self.deconv)[: self.nkx])
-        self.multQ = jnp.asarray((qsym(self.kk) * self.deconv)[: self.nkx])
-        self.kx_dev = jnp.asarray(self.kxc[: self.nkx])
-        self.ky_dev = jnp.asarray(self.kyr)
+                              * jnp.exp(-(k**2) / (4 * eta**2)))
+        screen = lambda k: jnp.exp(-(k**2) / (4 * eta**2))
+        bsym = lambda k: biharmonic_truncated_symbol_dev(k, L) * screen_v(k)
+        qsym = lambda k: laplace_truncated_symbol_dev(k, L) * screen(k)
+        self.multB = bsym(self.kk_half) * self.deconv_half
+        self.multQ = qsym(self.kk_half) * self.deconv_half
+        self.kx_dev = self.kx_half
+        self.ky_dev = self.ky_row
         # ---- near corrections --------------------------------------------
         # The band-limited velocity kernel is derivatives of the RADIAL
         # band-limited biharmonic Bs:  T_xx = -(A2 dy^2 + A1 dx^2)/r^2,
@@ -515,17 +719,18 @@ class StokesFreespaceGridEvaluator(_EvaluatorBase):
         r_cut = r_cut_h * max(hx, hy)
         dx, dy, rr, mask = self._patch_geometry(src_x, src_y, r_cut)
         kmax = 12.0 * eta
-        r_max = rr.max() * 1.0001
         # A1 = Bs'/r = -(1/2pi) int Bhat k^2 (J1(z)/z) k dk -> moment
         # _m_j1_over_z gives k^2 J1/z; Ta = (1/2pi) int Bhat k^3 J0;
         # A2 = Bs'' = -Ta + Tb where Tb = (1/2pi) int Bhat k^2 (J1/z) k dk
-        Tb_t, Ta_t, Qb_t = _radial_hankel_tables(
-            bsym, kmax, L, r_max, [_m_j1_over_z, _m_k2_j0]) \
-            + _radial_hankel_tables(qsym, kmax, L, r_max, [_m_j1_over_z])
-        # masked evaluation only: each patch's in-range disc is ~60% of it
-        rs = rr[mask]
-        dxs = np.broadcast_to(dx, rr.shape)[mask]
-        dys = np.broadcast_to(dy, rr.shape)[mask]
+        Tb_t, Ta_t = _radial_hankel_tables_dev(
+            bsym, kmax, L, self.r_tab_max, [_m_j1_over_z_dev, _m_k2_j0_dev])
+        (Qb_t,) = _radial_hankel_tables_dev(qsym, kmax, L, self.r_tab_max,
+                                            [_m_j1_over_z_dev])
+        # full-patch device evaluation, masked afterwards (the weak host
+        # core took ~40 s for the equivalent masked sweep at bench sizes)
+        rs = jnp.where(mask, rr, 1.0)
+        dxs = dx      # (S, P, 1), broadcasts against (S, P, P)
+        dys = dy      # (S, 1, P)
         Tb = Tb_t(rs)
         A1 = -Tb
         A2 = -Ta_t(rs) + Tb
@@ -542,23 +747,21 @@ class StokesFreespaceGridEvaluator(_EvaluatorBase):
         # (r^2 log r grows), so the FFT pipeline applies G - 1/(8 pi) on the
         # diagonal.  We match the corrections to that effective kernel and
         # add sum(f)/(8 pi) back once in __call__.
-        logr = np.log(r2) * 0.5
+        logr = accurate_log(r2) * 0.5
         G_xx = (-logr + dxs**2 / r2) / (4 * np.pi) - 1.0 / (8 * np.pi)
         G_xy = (dxs * dys / r2) / (4 * np.pi)
         G_yy = (-logr + dys**2 / r2) / (4 * np.pi) - 1.0 / (8 * np.pi)
         P_x = dxs / (2 * np.pi * r2)
         P_y = dys / (2 * np.pi * r2)
 
-        def scatter(vals):
-            out = np.zeros(rr.shape)
-            out[mask] = vals
-            return jnp.asarray(out)
+        def masked(vals):
+            return jnp.where(mask, vals, 0.0)
 
-        self.Cxx = scatter(G_xx - T_xx)
-        self.Cxy = scatter(G_xy - T_xy)
-        self.Cyy = scatter(G_yy - T_yy)
-        self.Cpx = scatter(P_x - Qb * dxs)
-        self.Cpy = scatter(P_y - Qb * dys)
+        self.Cxx = masked(G_xx - T_xx)
+        self.Cxy = masked(G_xy - T_xy)
+        self.Cyy = masked(G_yy - T_yy)
+        self.Cpx = masked(P_x - Qb * dxs)
+        self.Cpy = masked(P_y - Qb * dys)
 
     def __call__(self, wfx, wfy):
         """(S,) weighted force components -> (u, v, p) on the (Nx, Ny) grid."""

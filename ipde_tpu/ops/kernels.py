@@ -136,6 +136,71 @@ def mh_slp_apply(sx, sy, weighted_charge, tx, ty, k: float):
 
 
 # ---------------------------------------------------------------------------
+# accurate trig (TPU f64 sin is ~5e-10; mul/add are ~2^-48-exact, so a
+# Cody-Waite reduction with f32-exact constant pieces + minimax polynomials
+# recovers ~1e-14)
+# ---------------------------------------------------------------------------
+
+# pi/2 split into pieces, the first two f32-representable (24-bit): products
+# with k < 2^24 are exact even in the TPU's hi+lo-f32 (~48-bit) f64 storage.
+_PIO2_A = 1.5707963705062866                  # float32(pi/2)
+_PIO2_B = -4.371138828673793e-08              # float32(pi/2 - A)
+_PIO2_C = -1.7150994166548195e-15             # f64 remainder
+
+_SIN_C = (-1.66666666666666657415e-01, 8.33333333333329961475e-03,
+          -1.98412698412597566432e-04, 2.75573192105007139571e-06,
+          -2.50521083854471294570e-08, 1.60590431721336942356e-10,
+          -7.64291780689104677550e-13)
+_COS_C = (4.16666666666666572212e-02, -1.38888888888873565375e-03,
+          2.48015872894752791479e-05, -2.75573143513905380209e-07,
+          2.08757232129756966631e-09, -1.13585365213876817300e-11)
+
+
+def _sin_poly(r):
+    z = r * r
+    acc = _SIN_C[-1]
+    for c in _SIN_C[-2::-1]:
+        acc = acc * z + c
+    return r + r * z * acc
+
+
+def _cos_poly(r):
+    z = r * r
+    acc = _COS_C[-1]
+    for c in _COS_C[-2::-1]:
+        acc = acc * z + c
+    return 1.0 - 0.5 * z + z * z * acc
+
+
+def _trig_reduce(x):
+    """x -> (r, q) with x = q pi/2 + r, |r| <= pi/4, q int32 mod 4.
+    Valid to ~1e-16 absolute for |x| < ~2^24 (covers every kernel-argument
+    range in this framework)."""
+    k = jnp.round(x * (2.0 / jnp.pi))
+    r = ((x - k * _PIO2_A) - k * _PIO2_B) - k * _PIO2_C
+    q = jnp.asarray(k % 4.0, jnp.int32)
+    return r, q
+
+
+def accurate_sin(x):
+    if jax.default_backend() != "tpu":
+        return jnp.sin(x)
+    r, q = _trig_reduce(x)
+    s, c = _sin_poly(r), _cos_poly(r)
+    return jnp.where(q == 0, s, jnp.where(q == 1, c,
+                     jnp.where(q == 2, -s, -c)))
+
+
+def accurate_cos(x):
+    if jax.default_backend() != "tpu":
+        return jnp.cos(x)
+    r, q = _trig_reduce(x)
+    s, c = _sin_poly(r), _cos_poly(r)
+    return jnp.where(q == 0, c, jnp.where(q == 1, -s,
+                     jnp.where(q == 2, -c, s)))
+
+
+# ---------------------------------------------------------------------------
 # device Bessel functions (f64): series + asymptotic, branch via where
 # ---------------------------------------------------------------------------
 
@@ -217,6 +282,130 @@ def bessel_k0(z):
     zl = jnp.where(large, z, 15.0)
     return jnp.where(small, _k0_small(zs),
                      jnp.where(large, _k0_large(zl), _cheb_mid(zm, "k0")))
+
+
+def expint_e1(x):
+    """E1(x) for x > 0 on device (f64, ~1e-14): series below 1, Chebyshev
+    fit of x e^x E1(x) on [1, 44] (E1(44) ~ 2e-21: callers' arguments are
+    eta^2 r^2 <= ~40)."""
+    x = jnp.asarray(x)
+    gamma = 0.5772156649015328606
+    small = x < 1.0
+    xs = jnp.where(small, jnp.maximum(x, 1e-300), 1.0)
+    term = jnp.ones_like(x)
+    acc = jnp.zeros_like(x)
+    for m in range(1, 18):
+        term = term * (-xs) / m
+        acc = acc - term / m
+    e1_small = -gamma - accurate_log(xs) + acc
+    xm = jnp.clip(x, 1.0, 44.0)
+    e1_mid = _cheb_e1(xm)
+    return jnp.where(small, e1_small, e1_mid)
+
+
+@functools.lru_cache(maxsize=1)
+def _cheb_e1_coeffs(lo: float = 1.0, hi: float = 44.0, deg: int = 48):
+    from scipy.special import exp1
+    import numpy as _np
+    xc = _np.cos(_np.pi * (_np.arange(deg) + 0.5) / deg)
+    zc = 0.5 * (hi + lo) + 0.5 * (hi - lo) * xc
+    vals = exp1(zc) * zc * _np.exp(zc)
+    c = _np.polynomial.chebyshev.chebfit(xc, vals, deg - 1)
+    return tuple(float(v) for v in c), lo, hi
+
+
+def _cheb_e1(z):
+    c, lo, hi = _cheb_e1_coeffs()
+    x = (2.0 * z - (hi + lo)) / (hi - lo)
+    b1 = jnp.zeros_like(z)
+    b2 = jnp.zeros_like(z)
+    for k in range(len(c) - 1, 0, -1):
+        b1, b2 = 2.0 * x * b1 - b2 + c[k], b1
+    val = x * b1 - b2 + c[0]
+    return val * jnp.exp(-z) / z
+
+
+# -- Bessel J (device, f64): series z<4 / Chebyshev [4,40] / Hankel z>40 ----
+
+@functools.lru_cache(maxsize=8)
+def _cheb_fit_j(nu: int, lo: float = 4.0, hi: float = 40.0, deg: int = 96):
+    """Host Chebyshev fit of J_nu on [lo, hi] for the device mid-range."""
+    from scipy.special import jv as _jv
+    import numpy as _np
+    xc = _np.cos(_np.pi * (_np.arange(deg) + 0.5) / deg)
+    zc = 0.5 * (hi + lo) + 0.5 * (hi - lo) * xc
+    c = _np.polynomial.chebyshev.chebfit(xc, _jv(nu, zc), deg - 1)
+    return tuple(float(v) for v in c), lo, hi
+
+
+def _cheb_eval_j(z, nu: int):
+    c, lo, hi = _cheb_fit_j(nu)
+    x = (2.0 * z - (hi + lo)) / (hi - lo)
+    b1 = jnp.zeros_like(z)
+    b2 = jnp.zeros_like(z)
+    for k in range(len(c) - 1, 0, -1):
+        b1, b2 = 2.0 * x * b1 - b2 + c[k], b1
+    return x * b1 - b2 + c[0]
+
+
+def _j_series(z, nu: int, terms: int = 24):
+    """Power series sum_m (-1)^m q^m / (m! (m+nu)!) * (z/2)^nu, q = z^2/4
+    (used for z <= 4: alternating, <=1 digit of cancellation)."""
+    q = 0.25 * z * z
+    term = jnp.ones_like(z)
+    acc = jnp.ones_like(z)
+    for m in range(1, terms):
+        term = term * (-q) / (m * (m + nu))
+        acc = acc + term
+    import math
+    pref = (0.5 * z) ** nu / math.factorial(nu)
+    return pref * acc
+
+
+def _j_asym(z, nu: int, terms: int = 11):
+    """Hankel asymptotic expansion (z >= 40: truncation ~1e-14)."""
+    zs = jnp.maximum(z, 40.0)
+    mu = 4.0 * nu * nu
+    inv8z = 1.0 / (8.0 * zs)
+    a = jnp.ones_like(zs)
+    P = jnp.ones_like(zs)
+    Q = jnp.zeros_like(zs)
+    sp = 1.0
+    sq = 1.0
+    for k in range(1, terms):
+        a = a * (mu - (2 * k - 1) ** 2) * inv8z / k
+        if k % 2 == 0:
+            sp = -sp
+            P = P + sp * a
+        else:
+            Q = Q + sq * a
+            sq = -sq
+    # J_nu = sqrt(2/(pi z)) [P cos(w) - Q sin(w)], w = z - (2 nu + 1) pi/4
+    w = zs - (2 * nu + 1) * (jnp.pi / 4.0)
+    return jnp.sqrt(2.0 / (jnp.pi * zs)) * (P * accurate_cos(w)
+                                            - Q * accurate_sin(w))
+
+
+def _bessel_j(z, nu: int):
+    z = jnp.asarray(z, jnp.float64)
+    small = z < 4.0
+    large = z > 40.0
+    zs = jnp.where(small, z, 0.0)
+    zm = jnp.clip(z, 4.0, 40.0)
+    return jnp.where(small, _j_series(zs, nu),
+                     jnp.where(large, _j_asym(z, nu), _cheb_eval_j(zm, nu)))
+
+
+def bessel_j0(z):
+    return _bessel_j(z, 0)
+
+
+def bessel_j1(z):
+    return _bessel_j(z, 1)
+
+
+def bessel_j2(z):
+    return _bessel_j(z, 2)
 
 
 def _k1_small(z):

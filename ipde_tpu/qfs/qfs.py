@@ -98,15 +98,38 @@ class QFSEvaluator:
     """
 
     def __init__(self, source: BoundaryCurve, curve: BoundaryCurve,
-                 forms: Sequence[np.ndarray], A: np.ndarray,
-                 rcond: float = 1e-15, build_u2s: bool = True):
+                 forms: Sequence, A, rcond: float = 1e-15,
+                 build_u2s: bool = True, backend: str = "host"):
         """build_u2s=False skips the values->source map (a (N_src x N)
         device matrix, ~0.7 GB per Stokes boundary at nb=2700): it is only
-        consumed by multi-body correction passes."""
+        consumed by multi-body correction passes.
+
+        backend='host': LAPACK gelsy pseudo-inverse (ground truth; numpy
+        inputs).  backend='device': blocked min-norm composition on the
+        accelerator (ops/device_linalg.minnorm_compose) -- forms/A may be
+        device arrays born on the device (ops/forms_dev) so nothing large
+        crosses the host link; ~50x faster at nb=2700 on one weak host core.
+        """
         self.source = source
         self.curve = curve
-        Apinv = _reg_pinv(A, rcond)
-        assert (A.shape[0] // curve.N) * curve.N == A.shape[0]
+        assert (np.shape(A)[0] // curve.N) * curve.N == np.shape(A)[0]
+        if backend == "device":
+            from ipde_tpu.ops.device_linalg import minnorm_compose
+            from ipde_tpu.ops.forms_dev import filter_cols_dev, \
+                filter_rows_dev
+            A = jnp.asarray(A)
+            comps = [filter_rows_dev(jnp.asarray(B), curve.N) for B in forms]
+            if build_u2s:
+                eye = jnp.eye(A.shape[0], dtype=A.dtype)
+                comps.append(filter_cols_dev(eye, curve.N))
+            maps = minnorm_compose(A, comps, refine=1)
+            if build_u2s:
+                self.u2s_mat = maps.pop()
+            else:
+                self.u2s_mat = None
+            self.mats = maps
+            return
+        Apinv = _reg_pinv(np.asarray(A), rcond)
         self.mats = [jnp.asarray(Apinv @ _filter_rows(np.asarray(B), curve.N))
                      for B in forms]
         self.u2s_mat = (jnp.asarray(_filter_cols(Apinv, curve.N))
@@ -127,33 +150,62 @@ class QFSEvaluator:
 
 # -- kernel-specific constructors --------------------------------------------
 
+def auto_backend() -> str:
+    """'device' on an accelerator (matrices born on-device, blocked
+    min-norm composition), 'host' on CPU (LAPACK gelsy ground truth)."""
+    import jax
+    return "device" if jax.default_backend() == "tpu" else "host"
+
+
 def laplace_qfs(curve: BoundaryCurve, source: BoundaryCurve, interior: bool,
                 slp: bool = True, dlp: bool = True,
-                rcond: float = 1e-15, build_u2s: bool = True) -> QFSEvaluator:
+                rcond: float = 1e-15, build_u2s: bool = True,
+                backend: str = None) -> QFSEvaluator:
     """Laplace QFS: effective single-layer density on `source` reproducing
     SLP/DLP of densities on `curve`, matched as the one-sided limit on the
     evaluation side (`interior`=True -> limit from inside the curve:
     DLP -> PV - tau/2; from outside: PV + tau/2)."""
+    backend = backend or auto_backend()
     jump = -0.5 if interior else 0.5
     N = curve.N
     forms = []
-    if slp:
-        forms.append(sq.laplace_slp_self(curve))
-    if dlp:
-        forms.append(sq.laplace_dlp_self(curve) + jump * np.eye(N))
-    A = sq.laplace_slp_naive(source, curve.x, curve.y)
-    return QFSEvaluator(source, curve, forms, A, rcond, build_u2s=build_u2s)
+    if backend == "device":
+        from ipde_tpu.ops import forms_dev as fd
+        if slp:
+            forms.append(fd.laplace_slp_self_dev(curve))
+        if dlp:
+            forms.append(fd.laplace_dlp_self_dev(curve)
+                         + jump * jnp.eye(N))
+        A = fd.laplace_slp_naive_dev(source, curve.x, curve.y)
+    else:
+        if slp:
+            forms.append(sq.laplace_slp_self(curve))
+        if dlp:
+            forms.append(sq.laplace_dlp_self(curve) + jump * np.eye(N))
+        A = sq.laplace_slp_naive(source, curve.x, curve.y)
+    return QFSEvaluator(source, curve, forms, A, rcond,
+                        build_u2s=build_u2s, backend=backend)
 
 
 def mh_qfs(curve: BoundaryCurve, source: BoundaryCurve, interior: bool,
            k: float, slp: bool = True, dlp: bool = True,
-           rcond: float = 1e-15, build_u2s: bool = True) -> QFSEvaluator:
+           rcond: float = 1e-15, build_u2s: bool = True,
+           backend: str = None) -> QFSEvaluator:
+    backend = backend or auto_backend()
     jump = -0.5 if interior else 0.5
     N = curve.N
+    # Yukawa SELF forms stay host-built (banded Kress split with scipy
+    # i0/i1 + trig oversampling); they are (N, N) -- small next to the
+    # (N, N_src) naive system, which IS device-born below.
     forms = []
     if slp:
         forms.append(sq.mh_slp_self(curve, k))
     if dlp:
         forms.append(sq.mh_dlp_self(curve, k) + jump * np.eye(N))
-    A = sq.mh_slp_naive(source, curve.x, curve.y, k)
-    return QFSEvaluator(source, curve, forms, A, rcond, build_u2s=build_u2s)
+    if backend == "device":
+        from ipde_tpu.ops import forms_dev as fd
+        A = fd.mh_slp_naive_dev(source, curve.x, curve.y, k)
+    else:
+        A = sq.mh_slp_naive(source, curve.x, curve.y, k)
+    return QFSEvaluator(source, curve, forms, A, rcond,
+                        build_u2s=build_u2s, backend=backend)

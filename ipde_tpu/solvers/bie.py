@@ -26,6 +26,38 @@ from ipde_tpu.solvers.scalar import (ModifiedHelmholtzSolver, PoissonSolver,
 _HIGH = jax.lax.Precision.HIGHEST
 
 
+def _invert_system(blocks, offs, backend: str):
+    """Assemble the block BIE matrix and produce (A_dev, Ainv_dev).
+
+    backend='device': blocks are device arrays; the inverse runs as a
+    blocked no-pivot LU on the accelerator (ops/device_linalg), and A is
+    kept on device so apply_bc can do one exact-matvec refinement step
+    (second-kind systems: one step cancels the no-pivot backward error).
+    backend='host': numpy blocks, LAPACK inverse, no refinement needed."""
+    if backend == "device":
+        from ipde_tpu.ops.device_linalg import lu_inverse_blocked
+        rows = [jnp.concatenate([jnp.asarray(b) for b in row], axis=1)
+                for row in blocks]
+        A = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+        return A, lu_inverse_blocked(A)
+    n = offs[-1]
+    A = np.zeros((n, n))
+    for i, row in enumerate(blocks):
+        for j, b in enumerate(row):
+            A[offs[i]:offs[i + 1], offs[j]:offs[j + 1]] = np.asarray(b)
+    return None, jnp.asarray(np.linalg.inv(A))
+
+
+def _solve_bie(A_dev, Ainv, rhs):
+    """tau = A^{-1} rhs, with one refinement pass on the device path."""
+    from ipde_tpu.ops.kernels import kernel_matvec
+    tau = jnp.matmul(Ainv, rhs, precision=_HIGH)
+    if A_dev is not None:
+        r = rhs - kernel_matvec(A_dev, tau)
+        tau = tau + jnp.matmul(Ainv, r, precision=_HIGH)
+    return tau
+
+
 class DirichletBIE:
     """Dense Dirichlet BIE for a ScalarSolver's boundary collection."""
 
@@ -33,15 +65,13 @@ class DirichletBIE:
         self.solver = solver
         ebdyc = solver.ebdyc
         self.ebdyc = ebdyc
+        from ipde_tpu.qfs.qfs import auto_backend
+        backend = auto_backend()
         Ns = [e.bdy.N for e in ebdyc]
-        total = sum(Ns)
         offs = np.concatenate([[0], np.cumsum(Ns)])
-        A = np.zeros((total, total))
-        for i, ei in enumerate(ebdyc):
-            for j, ej in enumerate(ebdyc):
-                blk = self._dlp_block(ei, ej)
-                A[offs[i]:offs[i + 1], offs[j]:offs[j + 1]] = blk
-        self.Ainv = jnp.asarray(np.linalg.inv(A))
+        blocks = [[self._dlp_block(ei, ej, backend) for ej in ebdyc]
+                  for ei in ebdyc]
+        self.A_dev, self.Ainv = _invert_system(blocks, offs, backend)
         self.offs = offs
         # per-boundary QFS of the DLP, matched from the physical side,
         # effective sources on the far side of the physical region
@@ -71,7 +101,7 @@ class DirichletBIE:
             self.grid_eval = solver._make_grid_evaluator(gx, gy)
             self.src_Ns = [s_.N for s_ in self.src_list]
 
-    def _dlp_block(self, ei, ej) -> np.ndarray:
+    def _dlp_block(self, ei, ej, backend: str = "host"):
         """Representation: interior boundary -> DLP[tau]; inclusion
         (exterior) boundary -> (DLP + SLP)[tau].  The Laplace exterior DLP
         alone is rank-deficient (DLP of a constant density vanishes outside
@@ -79,20 +109,42 @@ class DirichletBIE:
         rank CONSISTENTLY -- the evaluation uses the identical combination
         (mirrors the Stokes BIE; reference capability analogue:
         examples/multi_stokes_for_paper.py:117-190).  The Yukawa DLP is
-        complete for inclusions -- no SLP added there."""
+        complete for inclusions -- no SLP added there.
+
+        backend='device': Laplace blocks are born on the accelerator
+        (ops/forms_dev); Yukawa self blocks stay host-built (banded Kress
+        split) and upload -- they are (N, N) per boundary, small next to
+        the QFS systems."""
         solver = self.solver
         is_mh = isinstance(solver, ModifiedHelmholtzSolver)
+        dev = backend == "device"
+        if dev:
+            from ipde_tpu.ops import forms_dev as fd
         if ei is ej:
             if is_mh:
-                D = sq.mh_dlp_self(ej.bdy, solver.k)
+                D = jnp.asarray(sq.mh_dlp_self(ej.bdy, solver.k)) if dev \
+                    else sq.mh_dlp_self(ej.bdy, solver.k)
+            elif dev:
+                D = fd.laplace_dlp_self_dev(ej.bdy)
+                if not ej.interior:
+                    D = D + fd.laplace_slp_self_dev(ej.bdy)
             else:
                 D = sq.laplace_dlp_self(ej.bdy)
                 if not ej.interior:
                     D = D + sq.laplace_slp_self(ej.bdy)
             jump = -0.5 if ej.interior else 0.5
-            return D + jump * np.eye(ej.bdy.N)
+            eye = jnp.eye(ej.bdy.N) if dev else np.eye(ej.bdy.N)
+            return D + jump * eye
         if is_mh:
+            if dev:
+                return fd.mh_dlp_naive_dev(ej.bdy, ei.bdy.x, ei.bdy.y,
+                                           solver.k)
             return sq.mh_dlp_naive(ej.bdy, ei.bdy.x, ei.bdy.y, solver.k)
+        if dev:
+            D = fd.laplace_dlp_naive_dev(ej.bdy, ei.bdy.x, ei.bdy.y)
+            if not ej.interior:
+                D = D + fd.laplace_slp_naive_dev(ej.bdy, ei.bdy.x, ei.bdy.y)
+            return D
         D = sq.laplace_dlp_naive(ej.bdy, ei.bdy.x, ei.bdy.y)
         if not ej.interior:
             D = D + sq.laplace_slp_naive(ej.bdy, ei.bdy.x, ei.bdy.y)
@@ -108,7 +160,7 @@ class DirichletBIE:
         # every other orientation/op is fine) and bc is a captured constant
         rhs = jnp.concatenate([-(v - b) for b, v in
                                zip(bc.values, bvs.values)])
-        tau = jnp.matmul(self.Ainv, rhs, precision=_HIGH)
+        tau = _solve_bie(self.A_dev, self.Ainv, rhs)
         taus = [tau[self.offs[i]:self.offs[i + 1]]
                 for i in range(len(self.ebdyc.ebdys))]
         # effective sources; QFS forms are [slp, dlp].  Laplace inclusions
@@ -165,33 +217,49 @@ class StokesDirichletBIE:
         self.solver = solver
         ebdyc = solver.ebdyc
         self.ebdyc = ebdyc
+        from ipde_tpu.qfs.qfs import auto_backend
+        backend = auto_backend()
+        dev = backend == "device"
+        if dev:
+            from ipde_tpu.ops import forms_dev as fd
         Ns = [e.bdy.N for e in ebdyc]
         offs = np.concatenate([[0], np.cumsum([2 * n for n in Ns])])
-        total = offs[-1]
-        A = np.zeros((total, total))
-        for i, ei in enumerate(ebdyc):
-            for j, ej in enumerate(ebdyc):
-                bi, bj = ei.bdy, ej.bdy
-                if i == j:
-                    if ej.interior:
-                        blk = (sk.stokes_dlp_self(bj)
-                               - 0.5 * np.eye(2 * bj.N)
-                               + sk.stokes_pressure_fix(bj, bj.normal_x,
-                                                        bj.normal_y))
-                    else:
-                        blk = (sk.stokes_dlp_self(bj)
-                               + sk.stokes_slp_self(bj)
-                               + 0.5 * np.eye(2 * bj.N))
-                else:
-                    if ej.interior:
-                        blk = (sk.stokes_dlp_naive(bj, bi.x, bi.y)
-                               + sk.stokes_pressure_fix(bj, bi.normal_x,
-                                                        bi.normal_y))
-                    else:
-                        blk = (sk.stokes_dlp_naive(bj, bi.x, bi.y)
-                               + sk.stokes_slp_naive(bj, bi.x, bi.y))
-                A[offs[i]:offs[i + 1], offs[j]:offs[j + 1]] = blk
-        self.Ainv = jnp.asarray(np.linalg.inv(A))
+
+        def blk(i, ei, j, ej):
+            bi, bj = ei.bdy, ej.bdy
+            if i == j:
+                if ej.interior:
+                    if dev:
+                        return (fd.stokes_dlp_self_dev(bj)
+                                - 0.5 * jnp.eye(2 * bj.N)
+                                + fd.stokes_pressure_fix_dev(
+                                    bj, bj.normal_x, bj.normal_y))
+                    return (sk.stokes_dlp_self(bj) - 0.5 * np.eye(2 * bj.N)
+                            + sk.stokes_pressure_fix(bj, bj.normal_x,
+                                                     bj.normal_y))
+                if dev:
+                    return (fd.stokes_dlp_self_dev(bj)
+                            + fd.stokes_slp_self_dev(bj)
+                            + 0.5 * jnp.eye(2 * bj.N))
+                return (sk.stokes_dlp_self(bj) + sk.stokes_slp_self(bj)
+                        + 0.5 * np.eye(2 * bj.N))
+            if ej.interior:
+                if dev:
+                    return (fd.stokes_dlp_naive_dev(bj, bi.x, bi.y)
+                            + fd.stokes_pressure_fix_dev(bj, bi.normal_x,
+                                                         bi.normal_y))
+                return (sk.stokes_dlp_naive(bj, bi.x, bi.y)
+                        + sk.stokes_pressure_fix(bj, bi.normal_x,
+                                                 bi.normal_y))
+            if dev:
+                return (fd.stokes_dlp_naive_dev(bj, bi.x, bi.y)
+                        + fd.stokes_slp_naive_dev(bj, bi.x, bi.y))
+            return (sk.stokes_dlp_naive(bj, bi.x, bi.y)
+                    + sk.stokes_slp_naive(bj, bi.x, bi.y))
+
+        blocks = [[blk(i, ei, j, ej) for j, ej in enumerate(ebdyc)]
+                  for i, ei in enumerate(ebdyc)]
+        self.A_dev, self.Ainv = _invert_system(blocks, offs, backend)
         self.offs = offs
         # per-boundary QFS (forms matched from the physical side)
         from ipde_tpu.solvers.vector import stokes_qfs
@@ -236,7 +304,7 @@ class StokesDirichletBIE:
             jnp.concatenate([-(bu_i - bcu), -(bv_i - bcv)])
             for bcu, bcv, bu_i, bv_i in
             zip(bc_u.values, bc_v.values, bu.values, bv.values)])
-        tau = jnp.matmul(self.Ainv, rhs, precision=_HIGH)
+        tau = _solve_bie(self.A_dev, self.Ainv, rhs)
         taus = [tau[self.offs[i]:self.offs[i + 1]]
                 for i in range(len(self.ebdyc.ebdys))]
         # QFS: interior boundaries have DLP-only forms; exterior SLP+DLP of
@@ -308,33 +376,45 @@ class NeumannBIE:
         ebdyc = solver.ebdyc
         self.ebdyc = ebdyc
         is_mh = isinstance(solver, ModifiedHelmholtzSolver)
+        from ipde_tpu.qfs.qfs import auto_backend
+        backend = auto_backend()
+        dev = backend == "device"
+        if dev:
+            from ipde_tpu.ops import forms_dev as fd
         Ns = [e.bdy.N for e in ebdyc]
         offs = np.concatenate([[0], np.cumsum(Ns)])
-        A = np.zeros((offs[-1], offs[-1]))
-        for i, ei in enumerate(ebdyc):
-            for j, ej in enumerate(ebdyc):
-                bi, bj = ei.bdy, ej.bdy
-                if i == j:
-                    if is_mh:
-                        blk = sq.mh_slp_normal_self(bj, solver.k)
-                    else:
-                        blk = sq.laplace_slp_normal_self(bj)
-                    jump = 0.5 if ej.interior else -0.5
-                    blk = blk + jump * np.eye(bj.N)
+
+        def blk(i, ei, j, ej):
+            bi, bj = ei.bdy, ej.bdy
+            if i == j:
+                if is_mh:
+                    b = sq.mh_slp_normal_self(bj, solver.k)
+                    b = jnp.asarray(b) if dev else b
+                elif dev:
+                    b = fd.laplace_slp_normal_self_dev(bj)
                 else:
-                    if is_mh:
-                        blk = sq.mh_slp_normal_naive(bj, bi.x, bi.y,
-                                                     bi.normal_x, bi.normal_y,
-                                                     solver.k)
-                    else:
-                        blk = sq.laplace_slp_normal_naive(bj, bi.x, bi.y,
-                                                          bi.normal_x,
-                                                          bi.normal_y)
-                A[offs[i]:offs[i + 1], offs[j]:offs[j + 1]] = blk
+                    b = sq.laplace_slp_normal_self(bj)
+                jump = 0.5 if ej.interior else -0.5
+                return b + jump * (jnp.eye(bj.N) if dev else np.eye(bj.N))
+            if is_mh:
+                if dev:
+                    return fd.mh_slp_normal_naive_dev(
+                        bj, bi.x, bi.y, bi.normal_x, bi.normal_y, solver.k)
+                return sq.mh_slp_normal_naive(bj, bi.x, bi.y, bi.normal_x,
+                                              bi.normal_y, solver.k)
+            if dev:
+                return fd.laplace_slp_normal_naive_dev(
+                    bj, bi.x, bi.y, bi.normal_x, bi.normal_y)
+            return sq.laplace_slp_normal_naive(bj, bi.x, bi.y, bi.normal_x,
+                                               bi.normal_y)
+
+        blocks = [[blk(i, ei, j, ej) for j, ej in enumerate(ebdyc)]
+                  for i, ei in enumerate(ebdyc)]
         if not is_mh and len(ebdyc.ebdys) == 1 and ebdyc.ebdys[0].interior:
             # pin the Laplace Neumann nullspace: add mean(sigma) to all rows
-            A += ebdyc.ebdys[0].bdy.weights[None, :]
-        self.Ainv = jnp.asarray(np.linalg.inv(A))
+            w = ebdyc.ebdys[0].bdy.weights[None, :]
+            blocks[0][0] = blocks[0][0] + (jnp.asarray(w) if dev else w)
+        self.A_dev, self.Ainv = _invert_system(blocks, offs, backend)
         self.offs = offs
         self.qfs_list = []
         self.src_list = []
@@ -367,7 +447,7 @@ class NeumannBIE:
         # -(computed - constant): see DirichletBIE.apply_bc
         rhs = jnp.concatenate([-(v - b) for b, v in
                                zip(bc_n.values, bns.values)])
-        sig = jnp.matmul(self.Ainv, rhs, precision=_HIGH)
+        sig = _solve_bie(self.A_dev, self.Ainv, rhs)
         sigs = [sig[self.offs[i]:self.offs[i + 1]]
                 for i in range(len(self.ebdyc.ebdys))]
         xis = [q([s]) for q, s in zip(self.qfs_list, sigs)]

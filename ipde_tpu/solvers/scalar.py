@@ -42,6 +42,34 @@ from ipde_tpu.solvers.annular_scalar import (AnnularModifiedHelmholtzSolver,
 _HIGH = jax.lax.Precision.HIGHEST
 
 
+def _annular_donor(prev_helper, solver, ebdy) -> Optional[object]:
+    """The previous helper's annular solver, if its geometry still fits.
+
+    Reference analogue: helper-reuse compatibility in
+    ipde/solvers/multi_boundary/modified_helmholtz.py:13-39.  The per-mode
+    preconditioner is built from the CIRCLE approximation (n, M, lb, ub,
+    approx_r); under moving-boundary regeneration (fixed h, M) only
+    approx_r drifts, and the preconditioner stays effective for modest
+    drift -- GMRES corrects the rest.  The true metric is rebuilt each
+    step regardless (ops are cached per AnnularMetric)."""
+    if prev_helper is None:
+        return None
+    a = prev_helper.annular_solver
+    g = a.geom
+    if (g.n, g.M) != (ebdy.bdy.N, ebdy.M):
+        return None
+    if abs(g.lb - ebdy.lb) > 1e-12 or abs(g.ub - ebdy.ub) > 1e-12:
+        return None
+    if not (0.8 <= ebdy.approximate_radius / g.approx_r <= 1.25):
+        return None
+    # PDE binding must match (e.g. same Helmholtz k): probe via class +
+    # the solver's own constructor parameters
+    probe = solver._annular_solver_signature()
+    if probe != (type(a).__name__, getattr(a, "helmholtz_k", None)):
+        return None
+    return a
+
+
 class _ScalarHelper:
     """Per-boundary machinery: annular solver + QFS maps + estimator rows."""
 
@@ -66,9 +94,11 @@ class _ScalarHelper:
                                       build_u2s=False)
         self.qfs_r = solver._make_qfs(ifc, self.radial_source,
                                       not self.interior)
-        # own grid-source -> own interface dense matrix (for 'correct')
-        self.own_src_to_ifc = jnp.asarray(
-            solver._naive_form(self.grid_source, ifc.x, ifc.y))
+        # own grid-source -> own interface dense matrix (for 'correct');
+        # born on-device on accelerators (175 MB at nb=2700 -- the tunnel
+        # moves ~2-12 MB/s, so host formation + upload is the slow path)
+        self.own_src_to_ifc = solver._naive_form_dev(self.grid_source,
+                                                     ifc.x, ifc.y)
         # estimator rows
         self.f_to_bdy = jnp.asarray(ebdy.interp_f_to_bdy)
         self.dn_to_bdy = jnp.asarray(ebdy.interp_dn_to_bdy)
@@ -154,7 +184,12 @@ class ScalarSolver:
             self.ifc_poly_interp = PolyInterpolator2D(
                 g.x_bounds[0], g.y_bounds[0], g.xh, g.yh, g.Nx, g.Ny,
                 ebdyc.all_interface_x, ebdyc.all_interface_y, order=3)
-        self.helpers = [ _ScalarHelper(self, e) for e in ebdyc ]
+        donors = list(helpers) if helpers else [None] * len(ebdyc.ebdys)
+        donors += [None] * (len(ebdyc.ebdys) - len(donors))
+        self.helpers = [
+            _ScalarHelper(self, e,
+                          shared_annular=_annular_donor(d, self, e))
+            for e, d in zip(ebdyc, donors)]
         # merged grid sources
         gx = np.concatenate([h.grid_source.x for h in self.helpers])
         gy = np.concatenate([h.grid_source.y for h in self.helpers])
@@ -196,6 +231,11 @@ class ScalarSolver:
     def _make_annular_solver(self, geom):
         raise NotImplementedError
 
+    def _annular_solver_signature(self):
+        """(class name, helmholtz k) the PDE binding would construct; used
+        by the helper-reuse compatibility check (_annular_donor)."""
+        raise NotImplementedError
+
     def _make_qfs(self, curve, source, interior,
                   build_u2s: bool = True) -> QFSEvaluator:
         raise NotImplementedError
@@ -204,6 +244,16 @@ class ScalarSolver:
         raise NotImplementedError
 
     def _naive_form(self, src, tx, ty) -> np.ndarray:
+        raise NotImplementedError
+
+    def _naive_form_dev(self, src, tx, ty):
+        """Device-born naive form on accelerators; host+upload otherwise."""
+        from ipde_tpu.qfs.qfs import auto_backend
+        if auto_backend() == "device":
+            return self._naive_form_device(src, tx, ty)
+        return jnp.asarray(self._naive_form(src, tx, ty))
+
+    def _naive_form_device(self, src, tx, ty):
         raise NotImplementedError
 
     def _apply(self, src_curve, density, tx, ty):
@@ -353,6 +403,9 @@ class PoissonSolver(ScalarSolver):
     def _make_annular_solver(self, geom):
         return AnnularPoissonSolver(geom)
 
+    def _annular_solver_signature(self):
+        return ("AnnularPoissonSolver", 0.0)
+
     def _make_qfs(self, curve, source, interior, build_u2s: bool = True):
         return laplace_qfs(curve, source, interior, build_u2s=build_u2s)
 
@@ -361,6 +414,10 @@ class PoissonSolver(ScalarSolver):
 
     def _naive_form(self, src, tx, ty):
         return sq.laplace_slp_naive(src, tx, ty)
+
+    def _naive_form_device(self, src, tx, ty):
+        from ipde_tpu.ops import forms_dev as fd
+        return fd.laplace_slp_naive_dev(src, tx, ty)
 
     def _apply(self, src_curve, density, tx, ty):
         d = src_curve.dev()
@@ -418,6 +475,9 @@ class ModifiedHelmholtzSolver(ScalarSolver):
     def _make_annular_solver(self, geom):
         return AnnularModifiedHelmholtzSolver(geom, k=self.k)
 
+    def _annular_solver_signature(self):
+        return ("AnnularModifiedHelmholtzSolver", self.k)
+
     def _make_qfs(self, curve, source, interior, build_u2s: bool = True):
         return mh_qfs(curve, source, interior, self.k, build_u2s=build_u2s)
 
@@ -426,6 +486,10 @@ class ModifiedHelmholtzSolver(ScalarSolver):
 
     def _naive_form(self, src, tx, ty):
         return sq.mh_slp_naive(src, tx, ty, self.k)
+
+    def _naive_form_device(self, src, tx, ty):
+        from ipde_tpu.ops import forms_dev as fd
+        return fd.mh_slp_naive_dev(src, tx, ty, self.k)
 
     def _apply(self, src_curve, density, tx, ty):
         d = src_curve.dev()

@@ -38,31 +38,64 @@ _HIGH = jax.lax.Precision.HIGHEST
 
 def stokes_qfs(curve, source, interior: bool, slp: bool = True,
                dlp: bool = True, rcond: float = 1e-15,
-               build_u2s: bool = True) -> QFSEvaluator:
+               build_u2s: bool = True, backend: str = None) -> QFSEvaluator:
     """QFS maps for the Stokes velocity layer potentials (2-vector packed).
 
     The source-to-curve matrix carries the rank-1 normal-flux completion
     (reference: Fixed_SLP in examples/multi_stokes_for_paper.py) so the
     least-squares match is well posed; matched data is incompressible, so
     the completion component of the solution vanishes."""
+    from ipde_tpu.qfs.qfs import auto_backend
+    backend = backend or auto_backend()
     jump = -0.5 if interior else 0.5
     forms = []
-    if slp:
-        forms.append(sk.stokes_slp_self(curve))
-    if dlp:
-        forms.append(sk.stokes_dlp_self(curve) + jump * np.eye(2 * curve.N))
-    A = (sk.stokes_slp_naive(source, curve.x, curve.y)
-         + sk.stokes_pressure_fix(source, curve.normal_x, curve.normal_y))
-    return QFSEvaluator(source, curve, forms, A, rcond, build_u2s=build_u2s)
+    if backend == "device":
+        from ipde_tpu.ops import forms_dev as fd
+        if slp:
+            forms.append(fd.stokes_slp_self_dev(curve))
+        if dlp:
+            forms.append(fd.stokes_dlp_self_dev(curve)
+                         + jump * jnp.eye(2 * curve.N))
+        A = (fd.stokes_slp_naive_dev(source, curve.x, curve.y)
+             + fd.stokes_pressure_fix_dev(source, curve.normal_x,
+                                          curve.normal_y))
+    else:
+        if slp:
+            forms.append(sk.stokes_slp_self(curve))
+        if dlp:
+            forms.append(sk.stokes_dlp_self(curve)
+                         + jump * np.eye(2 * curve.N))
+        A = (sk.stokes_slp_naive(source, curve.x, curve.y)
+             + sk.stokes_pressure_fix(source, curve.normal_x, curve.normal_y))
+    return QFSEvaluator(source, curve, forms, A, rcond,
+                        build_u2s=build_u2s, backend=backend)
+
+
+def _stokes_donor(prev_helper, ebdy):
+    """Reusable annular Stokes solver from a compatible previous helper
+    (see solvers/scalar.py::_annular_donor for the compatibility rules)."""
+    if prev_helper is None:
+        return None
+    a = prev_helper.annular_solver
+    g = a.geom
+    if (g.n, g.M) != (ebdy.bdy.N, ebdy.M):
+        return None
+    if abs(g.lb - ebdy.lb) > 1e-12 or abs(g.ub - ebdy.ub) > 1e-12:
+        return None
+    if not (0.8 <= ebdy.approximate_radius / g.approx_r <= 1.25):
+        return None
+    return a
 
 
 class _StokesHelper:
-    def __init__(self, solver, ebdy: EmbeddedBoundary, multi: bool = True):
+    def __init__(self, solver, ebdy: EmbeddedBoundary, multi: bool = True,
+                 shared_annular=None):
         self.ebdy = ebdy
         self.interior = ebdy.interior
         geom = AnnularGeometry(ebdy.bdy.N, ebdy.M, ebdy.lb, ebdy.ub,
                                ebdy.approximate_radius)
-        self.annular_solver = AnnularStokesSolver(geom, mu=1.0)
+        self.annular_solver = (shared_annular if shared_annular is not None
+                               else AnnularStokesSolver(geom, mu=1.0))
         self.metric = AnnularMetric(ebdy.bdy.speed, ebdy.bdy.curvature, geom)
         ifc = ebdy.interface
         self.grid_source = ebdy.qfs_source_for_side(
@@ -76,9 +109,17 @@ class _StokesHelper:
                                 build_u2s=False)
         self.qfs_r = stokes_qfs(ifc, self.radial_source, not self.interior,
                                 build_u2s=multi)
-        self.own_src_to_ifc = (jnp.asarray(
-            sk.stokes_slp_naive(self.grid_source, ifc.x, ifc.y))
-            if multi else None)
+        if multi:
+            from ipde_tpu.qfs.qfs import auto_backend
+            if auto_backend() == "device":
+                from ipde_tpu.ops import forms_dev as fd
+                self.own_src_to_ifc = fd.stokes_slp_naive_dev(
+                    self.grid_source, ifc.x, ifc.y)
+            else:
+                self.own_src_to_ifc = jnp.asarray(
+                    sk.stokes_slp_naive(self.grid_source, ifc.x, ifc.y))
+        else:
+            self.own_src_to_ifc = None
         # estimator rows + radial derivative machinery
         self.f_to_bdy = jnp.asarray(ebdy.interp_f_to_bdy)
         self.f_to_ifc = jnp.asarray(ebdy.interp_f_to_interface)
@@ -197,15 +238,39 @@ class StokesSolver:
     """
 
     def __init__(self, ebdyc: EmbeddedBoundaryCollection,
-                 grid_backend: str = "fft"):
+                 grid_backend: str = "fft", helpers: Optional[List] = None,
+                 solver_type: str = "spectral"):
+        """helpers: helpers from a previous StokesSolver on compatible
+        geometry (same n, M, radial bounds, ~same radius): their annular
+        Stokes preconditioners are reused, the dominant per-step setup cost
+        of moving-boundary runs (reference analogue:
+        ipde/solvers/multi_boundary/modified_helmholtz.py:13-39).
+
+        solver_type: 'spectral' (NUFFT interface data from the mode stack)
+        or 'fourth' (4th-order FD grid derivatives + 3rd-order polynomial
+        interface interpolation; reference:
+        ipde/solvers/multi_boundary/vector.py:7-47)."""
         self.ebdyc = ebdyc
         if ebdyc.grid is None:
             raise ValueError("collection has no registered grid")
         if ebdyc.bumpy is None:
             ebdyc.ready_bump()
         self.grid_backend = grid_backend
+        if solver_type not in ("spectral", "fourth"):
+            raise ValueError(solver_type)
+        self.solver_type = solver_type
+        if solver_type == "fourth":
+            from ipde_tpu.ops.interp import PolyInterpolator2D
+            g = ebdyc.grid
+            self.ifc_poly_interp = PolyInterpolator2D(
+                g.x_bounds[0], g.y_bounds[0], g.xh, g.yh, g.Nx, g.Ny,
+                ebdyc.all_interface_x, ebdyc.all_interface_y, order=3)
         multi = len(ebdyc.ebdys) > 1
-        self.helpers = [_StokesHelper(self, e, multi=multi) for e in ebdyc]
+        donors = list(helpers) if helpers else [None] * len(ebdyc.ebdys)
+        donors += [None] * (len(ebdyc.ebdys) - len(donors))
+        self.helpers = [_StokesHelper(self, e, multi=multi,
+                                      shared_annular=_stokes_donor(d, e))
+                        for e, d in zip(ebdyc, donors)]
         gx = np.concatenate([h.grid_source.x for h in self.helpers])
         gy = np.concatenate([h.grid_source.y for h in self.helpers])
         gw = np.concatenate([h.grid_source.weights for h in self.helpers])
@@ -271,17 +336,27 @@ class StokesSolver:
         uc = plan.ifft2_real(uh)
         vc = plan.ifft2_real(vh)
         pc = plan.ifft2_real(ph)
-        # interface data: u, v, p, ux, uy, vx, vy in one batched NUFFT
-        stack = Cx(
-            jnp.stack([uh.re, vh.re, ph.re, mul_ik(uh, kx).re,
-                       mul_ik(uh, ky).re, mul_ik(vh, kx).re,
-                       mul_ik(vh, ky).re]),
-            jnp.stack([uh.im, vh.im, ph.im, mul_ik(uh, kx).im,
-                       mul_ik(uh, ky).im, mul_ik(vh, kx).im,
-                       mul_ik(vh, ky).im]))
-        iv = ebdyc.interpolate_grid_to_interface_modes(stack)
-        bus, bvs, bps = iv[0], iv[1], iv[2]
-        uxs, uys, vxs, vys = iv[3], iv[4], iv[5], iv[6]
+        if self.solver_type == "fourth":
+            # 4th-order FD derivatives + 3rd-order polynomial interface
+            # interpolation (reference: multi_boundary/vector.py:7-47)
+            from ipde_tpu.ops.fd import fd_x_4, fd_y_4
+            g = ebdyc.grid
+            pi = self.ifc_poly_interp
+            bus, bvs, bps = pi(uc), pi(vc), pi(pc)
+            uxs, uys = pi(fd_x_4(uc, g.xh)), pi(fd_y_4(uc, g.yh))
+            vxs, vys = pi(fd_x_4(vc, g.xh)), pi(fd_y_4(vc, g.yh))
+        else:
+            # interface data: u, v, p, ux, uy, vx, vy in one batched NUFFT
+            stack = Cx(
+                jnp.stack([uh.re, vh.re, ph.re, mul_ik(uh, kx).re,
+                           mul_ik(uh, ky).re, mul_ik(vh, kx).re,
+                           mul_ik(vh, ky).re]),
+                jnp.stack([uh.im, vh.im, ph.im, mul_ik(uh, kx).im,
+                           mul_ik(uh, ky).im, mul_ik(vh, kx).im,
+                           mul_ik(vh, ky).im]))
+            iv = ebdyc.interpolate_grid_to_interface_modes(stack)
+            bus, bvs, bps = iv[0], iv[1], iv[2]
+            uxs, uys, vxs, vys = iv[3], iv[4], iv[5], iv[6]
         btxxs = 2 * uxs - bps
         btxys = uys + vxs
         btyys = 2 * vys - bps

@@ -95,3 +95,29 @@ def test_fourth_solver_type_poisson():
     err = float(abs(ue - ua).max_on(ebdyc))
     # 4th-order interface data limits accuracy vs the spectral path
     assert err < 5e-6, f"fourth solver_type: err {err:.2e}"
+
+
+def test_fourth_solver_type_stokes():
+    """Stokes 'fourth' path (reference: multi_boundary/vector.py:7-47)."""
+    from ipde_tpu.solvers.bie import StokesDirichletBIE
+    from ipde_tpu.solvers.vector import StokesSolver
+
+    usol = lambda x, y: np.sin(x) * np.cos(y) + 0.2 * np.cos(2 * y)
+    vsol = lambda x, y: -np.cos(x) * np.sin(y) + 0.1 * np.sin(2 * x)
+    fuf = lambda x, y: (2 * np.sin(x) * np.cos(y) + 0.8 * np.cos(2 * y)
+                        - np.sin(x) * np.sin(y))
+    fvf = lambda x, y: (-2 * np.cos(x) * np.sin(y) + 0.4 * np.sin(2 * x)
+                        + np.cos(x) * np.cos(y))
+    ebdyc = _setup(nb=300, M=12)
+    fu = EmbeddedFunction.from_function(ebdyc, fuf)
+    fv = EmbeddedFunction.from_function(ebdyc, fvf)
+    ua = EmbeddedFunction.from_function(ebdyc, usol)
+    bc_u = BoundaryFunction.from_function(ebdyc, usol)
+    bc_v = BoundaryFunction.from_function(ebdyc, vsol)
+    solver = StokesSolver(ebdyc, solver_type="fourth")
+    bie = StokesDirichletBIE(solver)
+    u, v, p = solver(fu, fv, tol=1e-12)
+    u, v, p = bie.apply_bc(u, v, p, bc_u, bc_v)
+    err = float(abs(u - ua).max_on(ebdyc))
+    # 4th-order interface data limits accuracy vs the spectral path
+    assert err < 2e-5, f"fourth solver_type stokes: err {err:.2e}"
