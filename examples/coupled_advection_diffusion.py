@@ -38,22 +38,34 @@ dt = 0.05
 steps = 4
 T = 0.0
 t_start = time.time()
+helpers = None          # reused across steps (annular solvers/preconditioners
+                        # survive geometry regeneration with fixed (n, M))
+k2 = 1.0/(dt*nu)
 for n in range(steps):
+    t_step = time.time()
     u = EmbeddedFunction.from_function(ebdyc, u_f)
     v = EmbeddedFunction.from_function(ebdyc, v_f)
     adv = SemiLagrangianAdvector(ebdyc, u, v)
     new_ebdyc = adv.generate(dt)
     c_star = adv(c)                      # advected field on the new geometry
+    t_adv = time.time() - t_step
     # backward-Euler diffusion: (1/(dt nu) - lap) c = c*/(dt nu)
-    k2 = 1.0/(dt*nu)
-    solver = ModifiedHelmholtzSolver(new_ebdyc, k=np.sqrt(k2))
+    t1 = time.time()
+    solver = ModifiedHelmholtzSolver(new_ebdyc, k=np.sqrt(k2),
+                                     helpers=helpers)
+    helpers = solver.helpers
+    t_setup = time.time() - t1
     f = c_star * k2
     # no-flux (Neumann) boundary condition
     bcn = BoundaryFunction([np.zeros(e.bdy.N) for e in new_ebdyc])
+    t1 = time.time()
     c = NeumannBIE(solver).apply_bc(solver(f, tol=1e-12), bcn)
+    t_solve = time.time() - t1
     ebdyc = new_ebdyc
     T += dt
-    print(f"step {n+1}/{steps} done ({time.time()-t_start:.0f}s)", flush=True)
+    print(f"step {n+1}/{steps}: advect {t_adv:.1f}s  solver-setup "
+          f"{t_setup:.1f}s  solve {t_solve:.1f}s  "
+          f"(total {time.time()-t_start:.0f}s)", flush=True)
 ca = EmbeddedFunction.from_function(ebdyc, lambda x, y: c_exact(x, y, T))
 err = abs(c - ca)
 phys = np.asarray(ebdyc.phys)

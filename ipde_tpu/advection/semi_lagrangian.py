@@ -141,31 +141,15 @@ class SemiLagrangianAdvector:
             b = e.bdy
             fields = dict(bx=b.x, by=b.y, nx=b.normal_x, ny=b.normal_y,
                           ub=ub, vb=vb, urb=urb, vrb=vrb)
-            ders = {k: _trig_deriv(v_) for k, v_ in fields.items()}
             xo, yo = px[z3], py[z3]
-            s, r = s0.copy(), r0.copy()
-            for _ in range(50):
-                F = {k: _trig_interp(v_, s) for k, v_ in fields.items()}
-                D = {k: _trig_interp(v_, s) for k, v_ in ders.items()}
-                f1 = (F["bx"] + r * F["nx"] + dt * (F["ub"] + r * F["urb"])
-                      - xo)
-                f2 = (F["by"] + r * F["ny"] + dt * (F["vb"] + r * F["vrb"])
-                      - yo)
-                res = np.hypot(f1, f2).max() if f1.size else 0.0
-                if res < 1e-12:
-                    break
-                j11 = (D["bx"] + r * D["nx"] + dt * (D["ub"] + r * D["urb"]))
-                j21 = (D["by"] + r * D["ny"] + dt * (D["vb"] + r * D["vrb"]))
-                j12 = F["nx"] + dt * F["urb"]
-                j22 = F["ny"] + dt * F["vrb"]
-                det3 = j11 * j22 - j12 * j21
-                s = s - (j22 * f1 - j12 * f2) / det3
-                r = r - (j11 * f2 - j21 * f1) / det3
-            else:
-                if res > 1e-8:
-                    raise RuntimeError(
-                        "FE advector zone-3 Newton failed to converge "
-                        f"(boundary {ind}, residual {res:.2e}); reduce dt")
+            # jitted fixed-iteration masked Newton on device
+            # (host loop was ~16 dense (P, nb) trig matmuls per iteration)
+            from ipde_tpu.advection.zone3_device import zone3_newton_fe
+            s, r, res = zone3_newton_fe(fields, dt, xo, yo, s0, r0)
+            if res > 1e-8:
+                raise RuntimeError(
+                    "FE advector zone-3 Newton failed to converge "
+                    f"(boundary {ind}, residual {res:.2e}); reduce dt")
             # clamp coordinates that left the physical side (reference
             # 'fail' handling: second_order_advector.py:295-315)
             lo, hi = (-e.radial_width, 0.0) if e.interior \
@@ -354,69 +338,20 @@ class SecondOrderAdvector:
                     vb=np.asarray(eo.interpolate_radial_to_boundary(vro)),
                     urb=dno @ uro, vrb=dno @ vro,
                     urrb=dn2o @ uro, vrrb=dn2o @ vro)
-                ders = {k: _trig_deriv(w) for k, w in fields.items()}
-                dero = {k: _trig_deriv(w) for k, w in of.items()}
                 xo_, yo_ = px[fc3], py[fc3]
                 s = part.full_t[ind][fc3].copy()
                 r = part.full_r[ind][fc3].copy()
                 so = part_o.full_t[ind][fc3].copy()
                 ro = part_o.full_r[ind][fc3].copy()
-                for _ in range(60):
-                    F = {k: _trig_interp(w, s) for k, w in fields.items()}
-                    O = {k: _trig_interp(w, so) for k, w in of.items()}
-                    Dd = {k: _trig_interp(w, s) for k, w in ders.items()}
-                    Do = {k: _trig_interp(w, so) for k, w in dero.items()}
-                    tay_u = F["ub"] + r * F["urb"] + 0.5 * r**2 * F["urrb"]
-                    tay_v = F["vb"] + r * F["vrb"] + 0.5 * r**2 * F["vrrb"]
-                    otay_u = O["ub"] + ro * O["urb"] + 0.5 * ro**2 * O["urrb"]
-                    otay_v = O["vb"] + ro * O["vrb"] + 0.5 * ro**2 * O["vrrb"]
-                    f0_ = O["bx"] + ro * O["nx"] + 2 * dt * tay_u - xo_
-                    f1_ = O["by"] + ro * O["ny"] + 2 * dt * tay_v - yo_
-                    f2_ = (F["bx"] + r * F["nx"] + 1.5 * dt * tay_u
-                           - 0.5 * dt * otay_u - xo_)
-                    f3_ = (F["by"] + r * F["ny"] + 1.5 * dt * tay_v
-                           - 0.5 * dt * otay_v - yo_)
-                    res = max(np.abs(f0_).max(), np.abs(f1_).max(),
-                              np.abs(f2_).max(), np.abs(f3_).max()) \
-                        if f0_.size else 0.0
-                    if res < 1e-12:
-                        break
-                    tay_us = (Dd["ub"] + r * Dd["urb"]
-                              + 0.5 * r**2 * Dd["urrb"])
-                    tay_vs = (Dd["vb"] + r * Dd["vrb"]
-                              + 0.5 * r**2 * Dd["vrrb"])
-                    otay_us = (Do["ub"] + ro * Do["urb"]
-                               + 0.5 * ro**2 * Do["urrb"])
-                    otay_vs = (Do["vb"] + ro * Do["vrb"]
-                               + 0.5 * ro**2 * Do["vrrb"])
-                    tay_ur = F["urb"] + r * F["urrb"]
-                    tay_vr = F["vrb"] + r * F["vrrb"]
-                    otay_ur = O["urb"] + ro * O["urrb"]
-                    otay_vr = O["vrb"] + ro * O["vrrb"]
-                    J = np.zeros((s.size, 4, 4))
-                    J[:, 0, 0] = 2 * dt * tay_us
-                    J[:, 1, 0] = 2 * dt * tay_vs
-                    J[:, 2, 0] = (Dd["bx"] + r * Dd["nx"] + 1.5 * dt * tay_us)
-                    J[:, 3, 0] = (Dd["by"] + r * Dd["ny"] + 1.5 * dt * tay_vs)
-                    J[:, 0, 1] = 2 * dt * tay_ur
-                    J[:, 1, 1] = 2 * dt * tay_vr
-                    J[:, 2, 1] = F["nx"] + 1.5 * dt * tay_ur
-                    J[:, 3, 1] = F["ny"] + 1.5 * dt * tay_vr
-                    J[:, 0, 2] = Do["bx"] + ro * Do["nx"]
-                    J[:, 1, 2] = Do["by"] + ro * Do["ny"]
-                    J[:, 2, 2] = -0.5 * dt * otay_us
-                    J[:, 3, 2] = -0.5 * dt * otay_vs
-                    J[:, 0, 3] = O["nx"]
-                    J[:, 1, 3] = O["ny"]
-                    J[:, 2, 3] = -0.5 * dt * otay_ur
-                    J[:, 3, 3] = -0.5 * dt * otay_vr
-                    upd = np.linalg.solve(
-                        J, np.stack([f0_, f1_, f2_, f3_], axis=1)[..., None]
-                    )[..., 0]
-                    s -= upd[:, 0]
-                    r -= upd[:, 1]
-                    so -= upd[:, 2]
-                    ro -= upd[:, 3]
+                # jitted fixed-iteration masked Newton on device (the host
+                # loop was ~40 dense (P, nb) trig matmuls per iteration)
+                from ipde_tpu.advection.zone3_device import zone3_newton_so
+                s, r, so, ro, res = zone3_newton_so(
+                    fields, of, dt, xo_, yo_, s, r, so, ro)
+                if res > 1e-8:
+                    raise RuntimeError(
+                        "second-order zone-3 Newton failed to converge "
+                        f"(boundary {ind}, residual {res:.2e}); reduce dt")
                 # clamp coordinates that left the physical side
                 # (reference 'fail' handling: second_order_advector.py:295-315)
                 lo, hi = (-e.radial_width, 0.0) if e.interior \

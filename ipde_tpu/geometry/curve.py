@@ -102,7 +102,15 @@ class BoundaryCurve:
         smooth even where large normal offsets would self-intersect.
         """
         decay = np.exp(a * self.k)  # modes k>0 amplified: c(t) ~ sum c_k e^{ikt}
-        ch = np.fft.fft(self.c) * decay
+        ch = np.fft.fft(self.c)
+        # zero the numerical-noise modes BEFORE amplification: on upsampled
+        # curves the modes above the original band are exact zeros refilled
+        # with ~1e-16 fft roundoff, and e^{a k} raises them up to ~1e6x --
+        # measured 5e-12 near-Nyquist junk in QFS source coordinates, which
+        # breaks the spectral decay the subsampled radial quadrature
+        # (ops/stratified.py) relies on
+        floor = np.abs(ch).max() * 1e-14
+        ch = np.where(np.abs(ch) <= floor, 0.0, ch) * decay
         cnew = np.fft.ifft(ch)
         return BoundaryCurve(np.real(cnew), np.imag(cnew))
 

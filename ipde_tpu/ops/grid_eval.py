@@ -237,6 +237,10 @@ class RadialTableDev:
         self.lam = jnp.asarray(((-1.0) ** j) * comb(order - 1, j))
 
     def __call__(self, r):
+        # Loop over the k stencil offsets with [N]-shaped intermediates
+        # only: a single [N, k] gather/divided-difference array is tiled
+        # to minor-dim 128 on TPU (16x memory at k=8), which OOMs at
+        # bench sizes (N ~ 1.8e7 -> 18 GB).
         r = jnp.asarray(r)
         shape = r.shape
         r = r.ravel()
@@ -245,12 +249,17 @@ class RadialTableDev:
         t = (r - self.r0) / self.dr
         j = jnp.clip(jnp.floor(t).astype(jnp.int32) - half, 0,
                      self.tab.shape[0] - k)
-        d = (t - j)[:, None] - jnp.arange(k)[None, :]
-        d = jnp.where(jnp.abs(d) < 1e-12,
-                      jnp.where(d >= 0, 1e-12, -1e-12), d)
-        w = self.lam / d
-        fv = self.tab[j[:, None] + jnp.arange(k)[None, :]]
-        return ((w * fv).sum(axis=1) / w.sum(axis=1)).reshape(shape)
+        tj = t - j
+        num = jnp.zeros_like(t)
+        den = jnp.zeros_like(t)
+        for i in range(k):
+            d = tj - i
+            d = jnp.where(jnp.abs(d) < 1e-12,
+                          jnp.where(d >= 0, 1e-12, -1e-12), d)
+            w = self.lam[i] / d
+            num = num + w * self.tab[j + i]
+            den = den + w
+        return (num / den).reshape(shape)
 
 
 def _radial_hankel_tables_dev(symfn_dev, kmax: float, L_eff: float,
@@ -494,13 +503,21 @@ class _EvaluatorBase:
         nodey = jnp.asarray(siy * hy + grid.y_bounds[0] - src_y)
         dx = nodex[:, None] + locx[None, :]            # (S, P)
         dy = nodey[:, None] + locy[None, :]
-        rr = jnp.sqrt(dx[:, :, None] ** 2 + dy[:, None, :] ** 2)  # (S, P, P)
+        # FLAT (S, P*P) layout throughout: a (S, P, P) f64 array is tiled
+        # (8, 128) on its last two dims, so P = 47 pads to (48, 128) -- a
+        # 2.7x memory blowup that OOMs at bench sizes (several such arrays
+        # per evaluator, solver + BIE each hold one evaluator).  The flat
+        # minor dim P*P ~ 2209 pads to 2304 (4% waste).
+        dxf = jnp.repeat(dx, P, axis=1)                # (S, P*P), x varies slow
+        dyf = jnp.tile(dy, (1, P))                     # (S, P*P), y varies fast
+        rr = jnp.sqrt(dxf ** 2 + dyf ** 2)
         mask = (rr <= r_cut) & (rr > 1e-13)
-        return dx[:, :, None], dy[:, None, :], rr, mask
+        return dxf, dyf, rr, mask
 
     def _apply_patches(self, grids, patch_stacks):
         """Add per-source P x P patches to each grid in ``grids``.
-        patch_stacks: list of (S, P, P) arrays aligned with ``grids``."""
+        patch_stacks: list of (S, P*P) arrays aligned with ``grids``
+        (row-major patch layout, see _patch_geometry)."""
         m = self.margin
         Pp = self.patch_P
         exts = tuple(jnp.zeros((self.grid.Nx + 2 * m, self.grid.Ny + 2 * m))
@@ -511,8 +528,8 @@ class _EvaluatorBase:
             out = []
             for acc, patch in zip(accs, inp[:-2]):
                 cur = jax.lax.dynamic_slice(acc, (x0, y0), (Pp, Pp))
-                out.append(jax.lax.dynamic_update_slice(acc, cur + patch,
-                                                        (x0, y0)))
+                out.append(jax.lax.dynamic_update_slice(
+                    acc, cur + patch.reshape(Pp, Pp), (x0, y0)))
             return tuple(out), None
 
         exts, _ = jax.lax.scan(
@@ -582,7 +599,7 @@ class FreespaceGridEvaluator(_EvaluatorBase):
         c = Cx(c.re * self.mult, c.im * self.mult)
         phi = self.fft_plan.irfft2_real_corner(c, self.grid.Nx, self.grid.Ny)
         (phi,) = self._apply_patches(
-            [phi], [self.patches * q[:, None, None]])
+            [phi], [self.patches * q[:, None]])
         return phi
 
 
@@ -666,7 +683,7 @@ class PeriodicGridEvaluator(_EvaluatorBase):
         c = Cx(c.re * self.mult, c.im * self.mult)
         phi = self.fft_plan.irfft2_real(c)[: self.grid.Nx, : self.grid.Ny]
         (phi,) = self._apply_patches(
-            [phi], [self.patches * q[:, None, None]])
+            [phi], [self.patches * q[:, None]])
         return phi - self.mean_shift * jnp.sum(q)
 
 
@@ -729,8 +746,8 @@ class StokesFreespaceGridEvaluator(_EvaluatorBase):
         # full-patch device evaluation, masked afterwards (the weak host
         # core took ~40 s for the equivalent masked sweep at bench sizes)
         rs = jnp.where(mask, rr, 1.0)
-        dxs = dx      # (S, P, 1), broadcasts against (S, P, P)
-        dys = dy      # (S, 1, P)
+        dxs = dx      # (S, P*P) flat patch offsets
+        dys = dy
         Tb = Tb_t(rs)
         A1 = -Tb
         A2 = -Ta_t(rs) + Tb
@@ -782,7 +799,7 @@ class StokesFreespaceGridEvaluator(_EvaluatorBase):
         # restore the constant the (grad grad - delta lap) B form drops
         u = u + jnp.sum(wfx) / (8 * jnp.pi)
         v = v + jnp.sum(wfy) / (8 * jnp.pi)
-        pu = self.Cxx * wfx[:, None, None] + self.Cxy * wfy[:, None, None]
-        pv = self.Cxy * wfx[:, None, None] + self.Cyy * wfy[:, None, None]
-        pp = self.Cpx * wfx[:, None, None] + self.Cpy * wfy[:, None, None]
+        pu = self.Cxx * wfx[:, None] + self.Cxy * wfy[:, None]
+        pv = self.Cxy * wfx[:, None] + self.Cyy * wfy[:, None]
+        pp = self.Cpx * wfx[:, None] + self.Cpy * wfy[:, None]
         return tuple(self._apply_patches([u, v, p], [pu, pv, pp]))

@@ -88,6 +88,13 @@ class DirichletBIE:
         self.radial_targets = [
             (jnp.asarray(e.radial_x.ravel()), jnp.asarray(e.radial_y.ravel()))
             for e in ebdyc]
+        # stratified subsampling plans [target ebdy i][source boundary j]
+        from ipde_tpu.ops.stratified import StratifiedRadialApply
+        self.radial_plans = [
+            [StratifiedRadialApply(src, e.radial_x, e.radial_y,
+                                   k_density=ej.bdy.N // 2)
+             for src, ej in zip(self.src_list, ebdyc)]
+            for e in ebdyc]
         # physical grid points (all of them: pna + in-annulus)
         self.phys_flat = jnp.asarray(np.flatnonzero(ebdyc.phys), jnp.int32)
         self.phys_x = jnp.asarray(ebdyc.grid.xg[ebdyc.phys])
@@ -184,11 +191,17 @@ class DirichletBIE:
                                                       self.phys_y)
             new_grid = ue.grid.ravel().at[self.phys_flat].add(grid_vals)\
                 .reshape(ue.grid.shape)
-        for src, sig in zip(self.src_list, sigmas):
+        for j, (src, sig) in enumerate(zip(self.src_list, sigmas)):
             for i, e in enumerate(self.ebdyc):
-                rtx, rty = self.radial_targets[i]
-                v = solver._apply(src, sig, rtx, rty)
-                radial_vals[i] = radial_vals[i] + v.reshape(e.radial_shape)
+                if solver._mesh is None:
+                    v = self.radial_plans[i][j].apply(
+                        lambda sx, sy, ws, f, tx, ty: solver._apply_raw(
+                            sx, sy, sig[::f] * ws, tx, ty))
+                    radial_vals[i] = radial_vals[i] + v
+                else:
+                    rtx, rty = self.radial_targets[i]
+                    v = solver._apply(src, sig, rtx, rty)
+                    radial_vals[i] = radial_vals[i] + v.reshape(e.radial_shape)
         new_radials = [r + dv for r, dv in zip(ue.radials, radial_vals)]
         return EmbeddedFunction(new_grid, new_radials)
 
@@ -275,6 +288,13 @@ class StokesDirichletBIE:
         self.radial_targets = [
             (jnp.asarray(e.radial_x.ravel()), jnp.asarray(e.radial_y.ravel()))
             for e in ebdyc]
+        # stratified subsampling plans [target ebdy i][source boundary j]
+        from ipde_tpu.ops.stratified import StratifiedRadialApply
+        self.radial_plans = [
+            [StratifiedRadialApply(src, e.radial_x, e.radial_y,
+                                   k_density=ej.bdy.N // 2)
+             for src, ej in zip(self.src_list, ebdyc)]
+            for e in ebdyc]
         self.phys_flat = jnp.asarray(np.flatnonzero(ebdyc.phys), jnp.int32)
         self.phys_x = jnp.asarray(ebdyc.grid.xg[ebdyc.phys])
         self.phys_y = jnp.asarray(ebdyc.grid.yg[ebdyc.phys])
@@ -340,18 +360,17 @@ class StokesDirichletBIE:
                 du, dv, dp = du + gu, dv + gv, dp + gp
             gnew = [g.ravel().at[self.phys_flat].add(dd).reshape(sh)
                     for g, dd in zip([u.grid, v.grid, p.grid], [du, dv, dp])]
-        for src, sig in zip(self.src_list, sigmas):
-            d = src.dev()
-            w = d["weights"]
+        for j, (src, sig) in enumerate(zip(self.src_list, sigmas)):
+            sN = src.N
             for i, e in enumerate(self.ebdyc):
-                rtx, rty = self.radial_targets[i]
-                ru, rv, rp = sk.stokes_slp_apply(
-                    d["x"], d["y"], sig[:src.N] * w, sig[src.N:] * w,
-                    rtx, rty)
-                shp = e.radial_shape
-                radial_updates[0][i] = radial_updates[0][i] + ru.reshape(shp)
-                radial_updates[1][i] = radial_updates[1][i] + rv.reshape(shp)
-                radial_updates[2][i] = radial_updates[2][i] + rp.reshape(shp)
+                ru, rv, rp = self.radial_plans[i][j].apply(
+                    lambda sx, sy, ws, f, tx, ty: sk.stokes_slp_apply(
+                        sx, sy, sig[:sN][::f] * ws, sig[sN:][::f] * ws,
+                        tx, ty),
+                    n_out=3)
+                radial_updates[0][i] = radial_updates[0][i] + ru
+                radial_updates[1][i] = radial_updates[1][i] + rv
+                radial_updates[2][i] = radial_updates[2][i] + rp
         u2 = EmbeddedFunction(gnew[0],
                               [a + b for a, b in zip(u.radials, radial_updates[0])])
         v2 = EmbeddedFunction(gnew[1],
@@ -429,6 +448,13 @@ class NeumannBIE:
         self.radial_targets = [
             (jnp.asarray(e.radial_x.ravel()), jnp.asarray(e.radial_y.ravel()))
             for e in ebdyc]
+        # stratified subsampling plans [target ebdy i][source boundary j]
+        from ipde_tpu.ops.stratified import StratifiedRadialApply
+        self.radial_plans = [
+            [StratifiedRadialApply(src, e.radial_x, e.radial_y,
+                                   k_density=ej.bdy.N // 2)
+             for src, ej in zip(self.src_list, ebdyc)]
+            for e in ebdyc]
         self.phys_flat = jnp.asarray(np.flatnonzero(ebdyc.phys), jnp.int32)
         self.phys_x = jnp.asarray(ebdyc.grid.xg[ebdyc.phys])
         self.phys_y = jnp.asarray(ebdyc.grid.yg[ebdyc.phys])
@@ -464,10 +490,16 @@ class NeumannBIE:
                                                       self.phys_y)
             new_grid = ue.grid.ravel().at[self.phys_flat].add(grid_vals)\
                 .reshape(ue.grid.shape)
-        for src, xi in zip(self.src_list, xis):
+        for j, (src, xi) in enumerate(zip(self.src_list, xis)):
             for i, e in enumerate(self.ebdyc):
-                rtx, rty = self.radial_targets[i]
-                v = solver._apply(src, xi, rtx, rty)
-                radial_vals[i] = radial_vals[i] + v.reshape(e.radial_shape)
+                if solver._mesh is None:
+                    v = self.radial_plans[i][j].apply(
+                        lambda sx, sy, ws, f, tx, ty: solver._apply_raw(
+                            sx, sy, xi[::f] * ws, tx, ty))
+                    radial_vals[i] = radial_vals[i] + v
+                else:
+                    rtx, rty = self.radial_targets[i]
+                    v = solver._apply(src, xi, rtx, rty)
+                    radial_vals[i] = radial_vals[i] + v.reshape(e.radial_shape)
         new_radials = [r + dv for r, dv in zip(ue.radials, radial_vals)]
         return EmbeddedFunction(new_grid, new_radials)

@@ -109,6 +109,12 @@ class _ScalarHelper:
         # trace-time constants (planify registers everything created here)
         self.radial_tx = jnp.asarray(ebdy.radial_x.ravel())
         self.radial_ty = jnp.asarray(ebdy.radial_y.ravel())
+        # stratified source subsampling for the dense radial apply in
+        # `correct` (rows far from the source curve need fewer sources)
+        from ipde_tpu.ops.stratified import StratifiedRadialApply
+        self.radial_plan = StratifiedRadialApply(
+            self.radial_source, ebdy.radial_x, ebdy.radial_y,
+            k_density=ebdy.bdy.N // 2)
         self.annular_solver.make_ops(self.metric)   # warm the ops cache
         self.grid_source.dev()
         self.radial_source.dev()
@@ -150,6 +156,11 @@ class _ScalarHelper:
         sigma_r_adj = self.qfs_r.u2s(bu - w)
         sigma_r_tot = sigma_r + sigma_r_adj
         src = self.radial_source
+        if solver._mesh is None:
+            rslp = self.radial_plan.apply(
+                lambda sx, sy, ws, f, tx, ty: solver._apply_raw(
+                    sx, sy, sigma_r_tot[::f] * ws, tx, ty))
+            return ur + rslp
         rslp = solver._apply(src, sigma_r_tot, self.radial_tx, self.radial_ty)
         return ur + rslp.reshape(self.ebdy.radial_shape)
 
@@ -257,6 +268,11 @@ class ScalarSolver:
         raise NotImplementedError
 
     def _apply(self, src_curve, density, tx, ty):
+        raise NotImplementedError
+
+    def _apply_raw(self, sx, sy, weighted, tx, ty):
+        """Kernel apply on raw device source arrays (weights already folded
+        into ``weighted``); backs the stratified-subsampling paths."""
         raise NotImplementedError
 
     def _grid_symbol(self) -> np.ndarray:
@@ -428,6 +444,9 @@ class PoissonSolver(ScalarSolver):
         return kernels.laplace_slp_apply(
             d["x"], d["y"], density * d["weights"], tx, ty)
 
+    def _apply_raw(self, sx, sy, weighted, tx, ty):
+        return kernels.laplace_slp_apply(sx, sy, weighted, tx, ty)
+
     def _apply_merged(self, sigma_g, tx, ty):
         if self._mesh is not None:
             from ipde_tpu.parallel.sharded import sharded_laplace_slp_apply
@@ -500,6 +519,9 @@ class ModifiedHelmholtzSolver(ScalarSolver):
                 tx, ty, self.k)
         return kernels.mh_slp_apply(
             d["x"], d["y"], density * d["weights"], tx, ty, self.k)
+
+    def _apply_raw(self, sx, sy, weighted, tx, ty):
+        return kernels.mh_slp_apply(sx, sy, weighted, tx, ty, self.k)
 
     def _apply_merged(self, sigma_g, tx, ty):
         if self._mesh is not None:

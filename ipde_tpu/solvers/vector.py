@@ -137,6 +137,12 @@ class _StokesHelper:
         # hoisted device mirrors + warmed caches (planified-jit arguments)
         self.radial_tx = jnp.asarray(ebdy.radial_x.ravel())
         self.radial_ty = jnp.asarray(ebdy.radial_y.ravel())
+        # stratified source subsampling for the dense radial Stokeslet
+        # apply in `correct` (see ops/stratified.py)
+        from ipde_tpu.ops.stratified import StratifiedRadialApply
+        self.radial_plan = StratifiedRadialApply(
+            self.radial_source, ebdy.radial_x, ebdy.radial_y,
+            k_density=ebdy.bdy.N // 2)
         self.annular_solver.make_ops(self.metric)
         self.grid_source.dev()
         self.radial_source.dev()
@@ -215,17 +221,13 @@ class _StokesHelper:
             w = jnp.matmul(self.own_src_to_ifc, sigma_g, precision=_HIGH)
             Ub = jnp.concatenate([bu - w[:N], bv - w[N:]])
             sigma_r_tot = sigma_r + self.qfs_r.u2s(Ub)
-        src = self.radial_source
-        sN = src.N
-        d = src.dev()
-        du, dv, dp = sk.stokes_slp_apply(
-            d["x"], d["y"],
-            sigma_r_tot[:sN] * d["weights"],
-            sigma_r_tot[sN:] * d["weights"],
-            self.radial_tx, self.radial_ty)
-        sh = self.ebdy.radial_shape
-        return (ur + du.reshape(sh), vr + dv.reshape(sh),
-                pr + dp.reshape(sh))
+        sN = self.radial_source.N
+        du, dv, dp = self.radial_plan.apply(
+            lambda sx, sy, ws, f, tx, ty: sk.stokes_slp_apply(
+                sx, sy, sigma_r_tot[:sN][::f] * ws,
+                sigma_r_tot[sN:][::f] * ws, tx, ty),
+            n_out=3)
+        return ur + du, vr + dv, pr + dp
 
 
 class StokesSolver:
