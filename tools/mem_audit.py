@@ -13,16 +13,33 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _free_hbm_gib():
+    """Largest allocatable contiguous block, by binary search."""
+    import jax.numpy as jnp
+    gc.collect()
+    lo, hi = 0.0, 16.0
+    best = 0.0
+    for _ in range(7):
+        mid = 0.5 * (lo + hi)
+        n = int(mid * 2**30 / 8)
+        try:
+            a = jnp.zeros((n,), jnp.float64)
+            a.block_until_ready()
+            del a
+            best = mid
+            lo = mid
+        except Exception:
+            hi = mid
+    return best
+
+
 def hbm(tag):
     import jax
-    try:
-        s = jax.local_devices()[0].memory_stats()
-        used = s.get("bytes_in_use", 0) / 2**30
-        peak = s.get("peak_bytes_in_use", 0) / 2**30
-        print(f"[{time.strftime('%H:%M:%S')}] {tag:34s} "
-              f"in_use {used:6.2f} GiB   peak {peak:6.2f} GiB", flush=True)
-    except Exception as e:
-        print(f"{tag}: memory_stats unavailable ({e})", flush=True)
+    gc.collect()
+    live = sum(a.nbytes for a in jax.live_arrays()
+               if not a.is_deleted()) / 2**30
+    print(f"[{time.strftime('%H:%M:%S')}] {tag:34s} live {live:6.2f} GiB  "
+          f"free-block {_free_hbm_gib():6.2f} GiB", flush=True)
 
 
 def biggest_arrays(limit=25):
