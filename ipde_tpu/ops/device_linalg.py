@@ -42,6 +42,17 @@ def _mm(a, b):
     return jnp.matmul(a, b, precision=_HIGH)
 
 
+def _sync(x):
+    """Bound the eager dispatch queue.  Buffers are ALLOCATED at dispatch
+    time, so an unsynchronized loop of (npad, m) f64 intermediates keeps
+    every iteration's arrays resident at once -- measured OOM at bench
+    sizes (5400-dof Stokes QFS compose: tens of GB in flight).  Through
+    the axon tunnel ``block_until_ready`` can return early; a one-element
+    host fetch is the only reliable barrier."""
+    _ = np.asarray(jax.lax.slice(x.ravel(), (0,), (1,)))
+    return x
+
+
 def _pad_to_blocks(n: int, block: int) -> int:
     return -(-n // block) * block
 
@@ -83,7 +94,11 @@ def cholesky_blocked(G, block: int = BLOCK) -> CholFactor:
     nblk = npad // block
     work = _pad_spd(jnp.asarray(G), npad)
     ridx = jnp.arange(npad)
-    cols = []
+    # preallocate L and write column panels in place (an accumulate+concat
+    # holds BOTH the panel list and the concatenated result alive -> 2x the
+    # factor's footprint as a transient; measured OOM contributor at bench
+    # sizes where several factors build back-to-back)
+    L = jnp.zeros((npad, npad), work.dtype)
     diag_invs = []
     eyeb = np.eye(block)
     for kb in range(nblk):
@@ -98,11 +113,11 @@ def cholesky_blocked(G, block: int = BLOCK) -> CholFactor:
         Lp = _mm(pan, dLikk.T)
         below = (ridx >= (kb + 1) * block)[:, None]
         Lbelow = jnp.where(below, Lp, 0.0)
-        col = jax.lax.dynamic_update_slice(Lbelow, jnp.asarray(Lkk), (j0, jnp.int32(0)))
-        cols.append(col)
+        col = jax.lax.dynamic_update_slice(Lbelow, jnp.asarray(Lkk),
+                                           (j0, jnp.int32(0)))
+        L = jax.lax.dynamic_update_slice(L, col, (jnp.int32(0), j0))
         if kb + 1 < nblk:
             work = work - _mm(Lbelow, Lbelow.T)
-    L = jnp.concatenate(cols, axis=1)
     return CholFactor(L, diag_invs, n, block)
 
 
@@ -131,7 +146,9 @@ def solve_lower(F: CholFactor, Bmat):
                                     (block, X.shape[1]))
         Xkb = _mm(F.diag_invs[kb], Xkb - acc)
         X = jax.lax.dynamic_update_slice(X, Xkb, (j0, jnp.int32(0)))
-    return X
+        if kb % 4 == 3:
+            _sync(X)
+    return _sync(X)
 
 
 def solve_lower_t(F: CholFactor, Bmat):
@@ -151,7 +168,9 @@ def solve_lower_t(F: CholFactor, Bmat):
                                     (block, X.shape[1]))
         Xkb = _mm(F.diag_invs[kb].T, Xkb - acc)
         X = jax.lax.dynamic_update_slice(X, Xkb, (j0, jnp.int32(0)))
-    return X
+        if kb % 4 == 3:
+            _sync(X)
+    return _sync(X)
 
 
 def spd_solve(F: CholFactor, Bmat):
@@ -236,6 +255,8 @@ def lu_inverse_blocked(A, block: int = BLOCK):
         Xkb = jax.lax.dynamic_slice(X, (j0, jnp.int32(0)), (block, npad))
         Xkb = _mm(Li_diag[kb], Xkb - acc)
         X = jax.lax.dynamic_update_slice(X, Xkb, (j0, jnp.int32(0)))
+        if kb % 4 == 3:
+            _sync(X)
     for kb in range(nblk - 1, -1, -1):
         j0 = jnp.int32(kb * block)
         Urow = jax.lax.dynamic_slice(U, (j0, jnp.int32(0)), (block, npad))
@@ -244,7 +265,9 @@ def lu_inverse_blocked(A, block: int = BLOCK):
         Xkb = jax.lax.dynamic_slice(X, (j0, jnp.int32(0)), (block, npad))
         Xkb = _mm(Ui_diag[kb], Xkb - acc)
         X = jax.lax.dynamic_update_slice(X, Xkb, (j0, jnp.int32(0)))
-    return X[:n, :n]
+        if kb % 4 == 3:
+            _sync(X)
+    return _sync(X)[:n, :n]
 
 
 # ---------------------------------------------------------------------------
@@ -272,18 +295,21 @@ def minnorm_compose(A, forms: Sequence, lam_rel: float = 0.0,
     A and forms may be numpy or device arrays; returns device maps (n, m).
     """
     A = jnp.asarray(A)
-    G = _mm(A, A.T)
+    At = A.T.copy()     # materialize ONCE (each eager _mm(A.T, .) would
+                        # re-materialize the transpose as a fresh buffer)
+    G = _mm(A, At)
     if lam_rel:
         m = G.shape[0]
         lam = lam_rel * float(jnp.trace(G) / m)
         G = G + lam * jnp.eye(m, dtype=G.dtype)
     F = cholesky_blocked(G, block=block)
+    del G
     maps = []
     for Bf in forms:
         Bf = jnp.asarray(Bf)
-        M = _mm(A.T, spd_solve(F, Bf))
+        M = _mm(At, spd_solve(F, Bf))
         for _ in range(refine):
             R = Bf - _mm(A, M)
-            M = M + _mm(A.T, spd_solve(F, R))
-        maps.append(M)
+            M = M + _mm(At, spd_solve(F, R))
+        maps.append(_sync(M))
     return maps

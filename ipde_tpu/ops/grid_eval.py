@@ -501,6 +501,13 @@ class _EvaluatorBase:
         locy = jnp.asarray(loc * hy)
         nodex = jnp.asarray(six * hx + grid.x_bounds[0] - src_x)
         nodey = jnp.asarray(siy * hy + grid.y_bounds[0] - src_y)
+        # O(S)+O(P) pieces from which per-source offsets are rebuilt at
+        # apply time (dx = nodex[:,None]+locx row-major-repeated): storing
+        # the offsets as (S, P*P) arrays costs 143 MB each at bench size
+        self.patch_nodex = nodex
+        self.patch_nodey = nodey
+        self.patch_locx = locx
+        self.patch_locy = locy
         dx = nodex[:, None] + locx[None, :]            # (S, P)
         dy = nodey[:, None] + locy[None, :]
         # FLAT (S, P*P) layout throughout: a (S, P, P) f64 array is tiled
@@ -746,8 +753,6 @@ class StokesFreespaceGridEvaluator(_EvaluatorBase):
         # full-patch device evaluation, masked afterwards (the weak host
         # core took ~40 s for the equivalent masked sweep at bench sizes)
         rs = jnp.where(mask, rr, 1.0)
-        dxs = dx      # (S, P*P) flat patch offsets
-        dys = dy
         Tb = Tb_t(rs)
         A1 = -Tb
         A2 = -Ta_t(rs) + Tb
@@ -755,30 +760,34 @@ class StokesFreespaceGridEvaluator(_EvaluatorBase):
         # T_pj = -Qs' d_j/r = +Qb * d_j
         Qb = Qb_t(rs)
         r2 = rs**2
-        T_xx = -(A2 * dys**2 + A1 * dxs**2) / r2
-        T_xy = (A2 - A1) * dxs * dys / r2
-        T_yy = -(A2 * dxs**2 + A1 * dys**2) / r2
-        # exact kernels (mu = 1 Stokeslet + its pressure).  The real-space
+        # Tensor-compressed correction storage: both the exact Stokeslet and
+        # the band-limited kernel are radial-isotropic tensors,
+        #     K_ij = KA(r) delta_ij + KB(r) d_i d_j / r^2,
+        # (T_xx = -(A2 dy^2 + A1 dx^2)/r^2 = -A2 + (A2-A1) dx^2/r^2 via
+        # dy^2 = r^2 - dx^2), so the correction needs THREE (S, P*P) arrays
+        #     CA = G_A - T_A,  CB2 = (G_B - T_B)/r^2,  CP (pressure),
+        # instead of five (Cxx/Cxy/Cyy/Cpx/Cpy): 2 x 143 MB less HBM per
+        # evaluator at bench size; the d_i d_j contraction is rebuilt at
+        # apply time from the O(S)+O(P) patch geometry.
+        #
+        # Exact kernels (mu = 1 Stokeslet + its pressure).  The real-space
         # identity is G_ij = (grad grad - delta lap) B + delta_ij/(8 pi):
         # the constant comes from the distributional k=0 part of B's FT
         # (r^2 log r grows), so the FFT pipeline applies G - 1/(8 pi) on the
         # diagonal.  We match the corrections to that effective kernel and
         # add sum(f)/(8 pi) back once in __call__.
         logr = accurate_log(r2) * 0.5
-        G_xx = (-logr + dxs**2 / r2) / (4 * np.pi) - 1.0 / (8 * np.pi)
-        G_xy = (dxs * dys / r2) / (4 * np.pi)
-        G_yy = (-logr + dys**2 / r2) / (4 * np.pi) - 1.0 / (8 * np.pi)
-        P_x = dxs / (2 * np.pi * r2)
-        P_y = dys / (2 * np.pi * r2)
+        G_A = -logr / (4 * np.pi) - 1.0 / (8 * np.pi)   # delta_ij part
+        G_B = 1.0 / (4 * np.pi)                          # d_i d_j / r^2 part
+        T_A = -A2
+        T_B = A2 - A1
 
         def masked(vals):
             return jnp.where(mask, vals, 0.0)
 
-        self.Cxx = masked(G_xx - T_xx)
-        self.Cxy = masked(G_xy - T_xy)
-        self.Cyy = masked(G_yy - T_yy)
-        self.Cpx = masked(P_x - Qb * dxs)
-        self.Cpy = masked(P_y - Qb * dys)
+        self.CA = masked(G_A - T_A)
+        self.CB2 = masked((G_B - T_B) / r2)
+        self.CP = masked(1.0 / (2 * np.pi * r2) - Qb)
 
     def __call__(self, wfx, wfy):
         """(S,) weighted force components -> (u, v, p) on the (Nx, Ny) grid."""
@@ -799,7 +808,15 @@ class StokesFreespaceGridEvaluator(_EvaluatorBase):
         # restore the constant the (grad grad - delta lap) B form drops
         u = u + jnp.sum(wfx) / (8 * jnp.pi)
         v = v + jnp.sum(wfy) / (8 * jnp.pi)
-        pu = self.Cxx * wfx[:, None] + self.Cxy * wfy[:, None]
-        pv = self.Cxy * wfx[:, None] + self.Cyy * wfy[:, None]
-        pp = self.Cpx * wfx[:, None] + self.Cpy * wfy[:, None]
+        # rebuild flat (S, P*P) offsets from O(S)+O(P) geometry (see
+        # _patch_geometry: x varies slow, y varies fast in the flat layout)
+        Pp = self.patch_P
+        dxs = jnp.repeat(self.patch_nodex[:, None] + self.patch_locx[None, :],
+                         Pp, axis=1)
+        dys = jnp.tile(self.patch_nodey[:, None] + self.patch_locy[None, :],
+                       (1, Pp))
+        rdot = dxs * wfx[:, None] + dys * wfy[:, None]
+        pu = self.CA * wfx[:, None] + self.CB2 * dxs * rdot
+        pv = self.CA * wfy[:, None] + self.CB2 * dys * rdot
+        pp = self.CP * rdot
         return tuple(self._apply_patches([u, v, p], [pu, pv, pp]))

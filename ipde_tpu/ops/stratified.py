@@ -44,6 +44,9 @@ class StratifiedRadialApply:
     def __init__(self, src, radial_x, radial_y, k_density: int,
                  exponent: float = 30.0, max_stride: int = 16,
                  min_points: int = 64):
+        import os
+        if os.environ.get("IPDE_NO_STRATIFIED"):   # A/B bisection switch
+            max_stride = 1
         sx = np.asarray(src.x, np.float64)
         sy = np.asarray(src.y, np.float64)
         sw = np.asarray(src.weights, np.float64)

@@ -78,6 +78,29 @@ def _filter_cols(Mmat: np.ndarray, ncurve: int) -> np.ndarray:
     return out
 
 
+_RESAMPLE_CACHE: dict = {}
+
+
+def resample_dev(n_in: int, n_out: int):
+    """Device (n_out, n_in) exact trigonometric-interpolation matrix for
+    periodic uniform grids (spectral upsampling).  Built once per size pair
+    and cached: QFS evaluators on same-resolution curves all share it (and
+    planify dedupes it to ONE jit argument by id)."""
+    key = (n_in, n_out)
+    got = _RESAMPLE_CACHE.get(key)
+    if got is None:
+        F = np.fft.fft(np.eye(n_in), axis=0)
+        rows = np.mod(np.fft.fftfreq(n_in, 1.0 / n_in).round().astype(int),
+                      n_out)
+        Fp = np.zeros((n_out, n_in), np.complex128)
+        Fp[rows] = F
+        # .real of the (one-sided-Nyquist) inverse = the usual split-Nyquist
+        # hermitian symmetrization
+        got = jnp.asarray(np.fft.ifft(Fp, axis=0).real * (n_out / n_in))
+        _RESAMPLE_CACHE[key] = got
+    return got
+
+
 class QFSEvaluator:
     """Maps layer densities on `curve` to an effective density on `source`.
 
@@ -95,13 +118,20 @@ class QFSEvaluator:
     norm ~1e6 floors every solve at ~1e-8 (measured).  Filtering the input
     modes the amplification acts on cuts the composed norm ~100x at a field
     error of order the (converged) density's top-mode content, ~1e-13.
+
+    Band-limited source compression (device backend): the source curve is
+    upsampled (N_src = u * N) for quadrature accuracy, but the effective
+    density it carries is band-limited to the FILTERED input band (< the
+    N-grid Nyquist): the min-norm solve therefore runs in an N-point
+    coefficient space eta with xi = U eta (U = spectral upsampling), making
+    every stored map (c*N, c*N) instead of (c*N_src, c*N) -- 3x less HBM
+    and 3x fewer flops at the default upsampling, with U shared globally.
     """
 
     def __init__(self, source: BoundaryCurve, curve: BoundaryCurve,
                  forms: Sequence, A, rcond: float = 1e-15,
                  build_u2s: bool = True, backend: str = "host"):
-        """build_u2s=False skips the values->source map (a (N_src x N)
-        device matrix, ~0.7 GB per Stokes boundary at nb=2700): it is only
+        """build_u2s=False skips the values->source map: it is only
         consumed by multi-body correction passes.
 
         backend='host': LAPACK gelsy pseudo-inverse (ground truth; numpy
@@ -117,7 +147,19 @@ class QFSEvaluator:
             from ipde_tpu.ops.device_linalg import minnorm_compose
             from ipde_tpu.ops.forms_dev import filter_cols_dev, \
                 filter_rows_dev
+            import os
             A = jnp.asarray(A)
+            S, N = source.N, curve.N
+            ncomp = A.shape[1] // S
+            if S > N and not os.environ.get("IPDE_QFS_NOCOMPRESS"):
+                U = resample_dev(N, S)
+                A = jnp.concatenate(
+                    [jnp.matmul(A[:, c * S:(c + 1) * S], U, precision=_HIGH)
+                     for c in range(ncomp)], axis=1)
+                self.up = U
+            else:
+                self.up = None
+            self._ncomp = ncomp
             comps = [filter_rows_dev(jnp.asarray(B), curve.N) for B in forms]
             if build_u2s:
                 eye = jnp.eye(A.shape[0], dtype=A.dtype)
@@ -129,31 +171,50 @@ class QFSEvaluator:
                 self.u2s_mat = None
             self.mats = maps
             return
+        self.up = None
+        self._ncomp = np.shape(A)[1] // source.N
         Apinv = _reg_pinv(np.asarray(A), rcond)
         self.mats = [jnp.asarray(Apinv @ _filter_rows(np.asarray(B), curve.N))
                      for B in forms]
         self.u2s_mat = (jnp.asarray(_filter_cols(Apinv, curve.N))
                         if build_u2s else None)
 
+    def _upsample(self, eta):
+        """eta (ncomp * N,) coefficient-space density -> xi (ncomp * N_src,)
+        pointwise on the source curve (identity when maps are full-size)."""
+        if self.up is None:
+            return eta
+        N = self.curve.N
+        parts = [jnp.matmul(self.up, eta[c * N:(c + 1) * N],
+                            precision=_HIGH) for c in range(self._ncomp)]
+        return jnp.concatenate(parts) if self._ncomp > 1 else parts[0]
+
     def __call__(self, densities):
         out = None
         for M, tau in zip(self.mats, densities):
             v = jnp.matmul(M, jnp.asarray(tau), precision=_HIGH)
             out = v if out is None else out + v
-        return out
+        return self._upsample(out)
 
     def u2s(self, u):
         if self.u2s_mat is None:
             raise RuntimeError("QFSEvaluator built with build_u2s=False")
-        return jnp.matmul(self.u2s_mat, jnp.asarray(u), precision=_HIGH)
+        return self._upsample(
+            jnp.matmul(self.u2s_mat, jnp.asarray(u), precision=_HIGH))
 
 
 # -- kernel-specific constructors --------------------------------------------
 
 def auto_backend() -> str:
     """'device' on an accelerator (matrices born on-device, blocked
-    min-norm composition), 'host' on CPU (LAPACK gelsy ground truth)."""
+    min-norm composition), 'host' on CPU (LAPACK gelsy ground truth).
+    Env override IPDE_QFS_BACKEND=host|device for A/B bisection."""
+    import os
+
     import jax
+    env = os.environ.get("IPDE_QFS_BACKEND")
+    if env in ("host", "device"):
+        return env
     return "device" if jax.default_backend() == "tpu" else "host"
 
 

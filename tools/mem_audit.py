@@ -34,12 +34,19 @@ def _free_hbm_gib():
 
 
 def hbm(tag):
+    # live-arrays only by default: the free-block probe allocates ~15 GiB
+    # transiently and through the tunnel its deallocation is asynchronous,
+    # contaminating every later stage (measured: runs OOM at stages that
+    # succeed probe-free).  Set MEM_PROBE=1 to include it anyway.
     import jax
     gc.collect()
     live = sum(a.nbytes for a in jax.live_arrays()
                if not a.is_deleted()) / 2**30
-    print(f"[{time.strftime('%H:%M:%S')}] {tag:34s} live {live:6.2f} GiB  "
-          f"free-block {_free_hbm_gib():6.2f} GiB", flush=True)
+    extra = ""
+    if os.environ.get("MEM_PROBE"):
+        extra = f"  free-block {_free_hbm_gib():6.2f} GiB"
+    print(f"[{time.strftime('%H:%M:%S')}] {tag:34s} live {live:6.2f} GiB"
+          f"{extra}", flush=True)
 
 
 def biggest_arrays(limit=25):
