@@ -42,6 +42,27 @@ def _mm(a, b):
     return jnp.matmul(a, b, precision=_HIGH)
 
 
+@jax.jit
+def _exact_mm_scan(A, B):
+    """A @ B with the contraction as elementwise multiply + VPU reduce per
+    column (lax.scan over B's columns).  The TPU emulated-f64 dot_general
+    is erratically wrong (~2^-24 absolute) for kernel-matrix operands (see
+    ops/kernels.kernel_matvec); this streams A once per column (~2 s at
+    (5400, 5400)^2) and is exact.  Used where 2^-24 noise is structurally
+    fatal: the iterative-refinement RESIDUAL product in minnorm_compose,
+    whose error is amplified by ||A^+|| ~ cond(A) in the correction."""
+    def body(_, col):
+        return None, jnp.sum(A * col[None, :], axis=1)
+    _, cols = jax.lax.scan(body, None, B.T)
+    return cols.T
+
+
+def exact_mm(A, B):
+    if jax.default_backend() != "tpu":
+        return _mm(A, B)
+    return _exact_mm_scan(A, B)
+
+
 def _sync(x):
     """Bound the eager dispatch queue.  Buffers are ALLOCATED at dispatch
     time, so an unsynchronized loop of (npad, m) f64 intermediates keeps
@@ -309,7 +330,7 @@ def minnorm_compose(A, forms: Sequence, lam_rel: float = 0.0,
         Bf = jnp.asarray(Bf)
         M = _mm(At, spd_solve(F, Bf))
         for _ in range(refine):
-            R = Bf - _mm(A, M)
+            R = Bf - exact_mm(A, _sync(M))
             M = M + _mm(At, spd_solve(F, R))
         maps.append(_sync(M))
     return maps

@@ -44,17 +44,93 @@ _HIGH = jax.lax.Precision.HIGHEST
 # ---------------------------------------------------------------------------
 # device symbol evaluation (setup): the padded-grid symbol arrays are a few
 # 10^6 Bessel evaluations -- 30-60 s of scipy on the single weak host core at
-# bench sizes, ~ms of VPU work via the device J implementations.
+# bench sizes, ~ms of VPU work on the device.
+#
+# Accuracy design (measured, tools/dev_special_probe.py): the closed Bessel
+# formulas amplify J-roundoff catastrophically at small z (numerators are
+# O(z^2) term-wise but O(z^4) in sum for the biharmonic), and the device J
+# implementations carry rare erratic single-lane errors (~4e-10) from the
+# TPU's emulated-f64 transcendentals.  Eager setup therefore evaluates J
+# by order-10 barycentric interpolation of host scipy tables (pure mul/add
+# on device: ~1e-16, no transcendentals) and switches to cancellation-free
+# q = (z/2)^2 power series below z = 8.  Traced calls (no concrete zmax)
+# fall back to the device J path.
 # ---------------------------------------------------------------------------
 
+_JTAB_CACHE: dict = {}
+
+
+def _bessel_j_tab(nu: int, zmax: float):
+    """Cached order-10 uniform-node table evaluator of J_nu on [0, zmax
+    rounded up to 500]: host scipy values, device barycentric apply."""
+    b = max(1, int(np.ceil(zmax / 500.0)))
+    key = (nu, b)
+    t = _JTAB_CACHE.get(key)
+    if t is None:
+        zm = 500.0 * b
+        n = int(zm / 0.05) + 11
+        zn = np.linspace(0.0, zm, n)
+        t = RadialTableDev(zn, jv(nu, zn), order=10)
+        _JTAB_CACHE[key] = t
+    return t
+
+
+def _dev_j(nu: int, z):
+    """J_nu(z) for device arrays: table path when z is concrete (setup),
+    device series/asymptotic path under tracing."""
+    if isinstance(z, jax.core.Tracer):
+        return (bessel_j0, bessel_j1, bessel_j2)[nu](z)
+    return _bessel_j_tab(nu, float(jnp.max(z)))(z)
+
+
+@functools.lru_cache(maxsize=1)
+def _symbol_series_coeffs(nterms: int = 26):
+    """Exact-rational small-z series coefficients (in q = z^2/4) for the
+    Laplace and biharmonic truncated symbols (see the formulas below):
+      laplace:    Ghat = L^2 [ sum aL[m] q^m  - log(L)/2 * sum bL[m] q^m ]
+      biharmonic: Bhat = (L^4/64) [ (log L - 1) sum c1[m] q^m
+                                    + sum c2[m] q^m ]
+    """
+    import math
+    from fractions import Fraction as Fr
+    f = math.factorial
+    aL = [Fr((-1) ** j, 4 * f(j + 1) ** 2) for j in range(nterms)]
+    bL = [Fr((-1) ** j, f(j) * f(j + 1)) for j in range(nterms)]
+    c1 = [8 * Fr((-1) ** m) * (m + 1) / (f(m) * f(m + 2))
+          for m in range(nterms)]
+    c2 = []
+    for mm in range(2, nterms + 2):
+        v = (-4 * Fr((-1) ** mm, f(mm - 2) * f(mm))
+             - 4 * Fr((-1) ** mm, f(mm) * f(mm))
+             + 4 * Fr((-1) ** mm, f(mm - 1) * f(mm)))
+        c2.append(v)
+    tof = lambda cs: tuple(float(c) for c in cs)
+    return tof(aL), tof(bL), tof(c1), tof(c2)
+
+
+def _horner(coeffs, q):
+    acc = jnp.full_like(q, coeffs[-1])
+    for c in coeffs[-2::-1]:
+        acc = acc * q + c
+    return acc
+
+
+_Z_SWITCH = 6.0
+
+
 def laplace_truncated_symbol_dev(kk, L: float):
-    """Device twin of laplace_truncated_symbol (same formulas, jnp)."""
+    """Ghat_L(k) = [(1 - J0(z)) - z log(L) J1(z)] / k^2, z = kL (host twin:
+    laplace_truncated_symbol); series below z = 8, table-J above."""
     kk = jnp.asarray(kk)
-    nz = kk > 0
-    ks = jnp.where(nz, kk, 1.0)
-    z = ks * L
-    val = ((1.0 - bessel_j0(z)) - z * np.log(L) * bessel_j1(z)) / (ks * ks)
-    return jnp.where(nz, val, -(L**2 / 2.0) * (np.log(L) - 0.5))
+    z = kk * L
+    aL, bL, _, _ = _symbol_series_coeffs()
+    q = 0.25 * z * z
+    small_val = L * L * (_horner(aL, q) - (np.log(L) / 2.0) * _horner(bL, q))
+    ks = jnp.where(kk > 0, kk, 1.0)
+    zs = jnp.maximum(z, _Z_SWITCH)
+    large_val = ((1.0 - _dev_j(0, zs)) - zs * np.log(L) * _dev_j(1, zs)) \
+        / (ks * ks)
+    return jnp.where(z < _Z_SWITCH, small_val, large_val)
 
 
 def yukawa_truncated_symbol_dev(kk, L: float, kappa: float):
@@ -63,19 +139,27 @@ def yukawa_truncated_symbol_dev(kk, L: float, kappa: float):
     z = kk * L
     k0L = float(K0h(kappa * L))
     k1L = float(K1h(kappa * L))
-    return ((1.0 + z * bessel_j1(z) * k0L
-             - kappa * L * bessel_j0(z) * k1L) / (kk**2 + kappa**2))
+    return ((1.0 + z * _dev_j(1, z) * k0L
+             - kappa * L * _dev_j(0, z) * k1L) / (kk**2 + kappa**2))
 
 
 def biharmonic_truncated_symbol_dev(kk, L: float):
+    """Bhat_L(k) (host twin: biharmonic_truncated_symbol); series below
+    z = 8 (the closed form loses ~8 digits there to cancellation),
+    table-J above."""
     kk = jnp.asarray(kk)
-    nz = kk > 0
-    ks = jnp.where(nz, kk, 1.0)
-    z = ks * L
-    J0z, J1z, J2z = bessel_j0(z), bessel_j1(z), bessel_j2(z)
-    val = ((np.log(L) - 1.0) * (z**3 * J1z - 2.0 * z**2 * J2z)
-           - z**2 * J2z + 4.0 * (1.0 - J0z) - 2.0 * z * J1z) / (4.0 * ks**4)
-    return jnp.where(nz, val, L**4 * (4.0 * np.log(L) - 5.0) / 64.0)
+    z = kk * L
+    _, _, c1, c2 = _symbol_series_coeffs()
+    q = 0.25 * z * z
+    small_val = (L**4 / 64.0) * ((np.log(L) - 1.0) * _horner(c1, q)
+                                 + _horner(c2, q))
+    ks = jnp.where(kk > 0, kk, 1.0)
+    zs = jnp.maximum(z, _Z_SWITCH)
+    J0z, J1z, J2z = _dev_j(0, zs), _dev_j(1, zs), _dev_j(2, zs)
+    large_val = ((np.log(L) - 1.0) * (zs**3 * J1z - 2.0 * zs**2 * J2z)
+                 - zs**2 * J2z + 4.0 * (1.0 - J0z) - 2.0 * zs * J1z) \
+        / (4.0 * ks**4)
+    return jnp.where(z < _Z_SWITCH, small_val, large_val)
 
 
 def laplace_truncated_symbol(kk: np.ndarray, L: float) -> np.ndarray:
@@ -289,7 +373,7 @@ def _radial_hankel_tables_dev(symfn_dev, kmax: float, L_eff: float,
 
 
 def _m_j0_dev(k, r):
-    return bessel_j0(k * r)
+    return _dev_j(0, k * r)
 
 
 def _m_j1_over_z_dev(k, r):
@@ -297,11 +381,11 @@ def _m_j1_over_z_dev(k, r):
     small = z < 1e-8
     zz = jnp.where(small, 1.0, z)
     return k * k * jnp.where(small, 0.5 - z * z / 16.0,
-                             bessel_j1(zz) / zz)
+                             _dev_j(1, zz) / zz)
 
 
 def _m_k2_j0_dev(k, r):
-    return k * k * bessel_j0(k * r)
+    return k * k * _dev_j(0, k * r)
 
 
 def _m_j0(k, r):

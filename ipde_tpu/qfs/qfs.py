@@ -25,6 +25,7 @@ import numpy as np
 
 from ipde_tpu.geometry.curve import BoundaryCurve
 from ipde_tpu.ops import singular as sq
+from ipde_tpu.ops.kernels import kernel_matvec
 
 _HIGH = jax.lax.Precision.HIGHEST
 
@@ -164,7 +165,9 @@ class QFSEvaluator:
             if build_u2s:
                 eye = jnp.eye(A.shape[0], dtype=A.dtype)
                 comps.append(filter_cols_dev(eye, curve.N))
-            maps = minnorm_compose(A, comps, refine=1)
+            maps = minnorm_compose(
+                A, comps,
+                refine=int(os.environ.get("IPDE_QFS_REFINE", "2")))
             if build_u2s:
                 self.u2s_mat = maps.pop()
             else:
@@ -185,22 +188,25 @@ class QFSEvaluator:
         if self.up is None:
             return eta
         N = self.curve.N
-        parts = [jnp.matmul(self.up, eta[c * N:(c + 1) * N],
-                            precision=_HIGH) for c in range(self._ncomp)]
+        parts = [kernel_matvec(self.up, eta[c * N:(c + 1) * N])
+                 for c in range(self._ncomp)]
         return jnp.concatenate(parts) if self._ncomp > 1 else parts[0]
 
     def __call__(self, densities):
+        # multiply+reduce contraction: the TPU's emulated-f64 dot_general
+        # is erratically wrong (~2^-24 absolute) for certain operand data
+        # (see ops/kernels.kernel_matvec); QFS maps x smooth densities are
+        # exactly the failing pattern (measured 1e-6-scale solve floors)
         out = None
         for M, tau in zip(self.mats, densities):
-            v = jnp.matmul(M, jnp.asarray(tau), precision=_HIGH)
+            v = kernel_matvec(M, jnp.asarray(tau))
             out = v if out is None else out + v
         return self._upsample(out)
 
     def u2s(self, u):
         if self.u2s_mat is None:
             raise RuntimeError("QFSEvaluator built with build_u2s=False")
-        return self._upsample(
-            jnp.matmul(self.u2s_mat, jnp.asarray(u), precision=_HIGH))
+        return self._upsample(kernel_matvec(self.u2s_mat, jnp.asarray(u)))
 
 
 # -- kernel-specific constructors --------------------------------------------
