@@ -96,8 +96,23 @@ def kernel_matvec(A, q):
     return jnp.sum(A * q[None, :], axis=1)
 
 
+def use_pallas() -> bool:
+    """Route dense applies through the fused double-single Pallas kernels
+    (ops/pallas_ds.py).  IPDE_PALLAS=1 forces on, =0 forces off; default
+    off pending hardware validation of the Mosaic compile path."""
+    import os
+    v = os.environ.get("IPDE_PALLAS", "")
+    if v == "1":
+        return jax.default_backend() == "tpu"
+    return False
+
+
 def laplace_slp_apply(sx, sy, weighted_charge, tx, ty):
     """sum_j -log|x - s_j| / (2 pi) * q_j at each target."""
+    if use_pallas():
+        from ipde_tpu.ops import pallas_ds
+        return pallas_ds.laplace_slp_apply(sx, sy, weighted_charge, tx, ty)
+
     def chunk(cx, cy):
         dx = cx[:, None] - sx[None, :]
         dy = cy[:, None] - sy[None, :]
@@ -109,6 +124,11 @@ def laplace_slp_apply(sx, sy, weighted_charge, tx, ty):
 
 def laplace_slp_grad_apply(sx, sy, weighted_charge, tx, ty):
     """(d/dx, d/dy) of the Laplace SLP at targets."""
+    if use_pallas():
+        from ipde_tpu.ops import pallas_ds
+        return pallas_ds.laplace_slp_grad_apply(sx, sy, weighted_charge,
+                                                tx, ty)
+
     def chunk(cx, cy):
         dx = cx[:, None] - sx[None, :]
         dy = cy[:, None] - sy[None, :]

@@ -1,0 +1,503 @@
+"""Fused double-single (hi/lo f32) Pallas TPU kernels for the dense
+layer-potential applies (VERDICT r2 item 1: the first real Pallas kernels,
+replacing the XLA-emulated-f64 chunked applies in ops/kernels.py /
+ops/stokes_kernels.py on the hot path).
+
+Why double-single: Mosaic (Pallas TPU) has no f64.  XLA's own f64 on this
+chip is ALREADY a hi+lo-f32 ("double-single", ~2^-48) emulation, but it
+emulates every intermediate at full generality and materializes chunked
+(T, S) f64 intermediates through HBM.  Here the whole pairwise kernel is
+one VMEM-resident Pallas program in explicit double-single arithmetic:
+per (target-tile, source-block) all ~(256,128) intermediates live in
+registers/VMEM, and the only HBM traffic is targets in / sums out, i.e.
+O(T + S) instead of O(T*S).
+
+Accuracy: the log kernel is computed exp/seed-free via exponent extraction
+(integer bit ops) + an atanh-series in double-single, giving ~1e-14
+absolute on log(r2) -- measured against mpmath on [1e-30, 1e6] (see
+tests/test_pallas_ds.py).  This dodges both TPU-f64 pitfalls recorded in
+the project notes: the ~1.4e-10 f64 transcendentals and the erratic
+2^-24-scale dot_general (no MXU contraction appears at all; the reduction
+is an explicit in-register double-single lane tree).
+
+Exactness requirements on the hardware: f32 add/sub/mul must be IEEE
+round-to-nearest, and the compiler must not contract a*b +/- c into an
+fma (which would break the error-free transforms).  The Dekker split is
+implemented with integer mantissa masking (bitcast + and), which is
+contraction-proof; two_sum uses only adds/subs.  A correctness test vs
+the XLA f64 path guards this assumption per backend.
+
+Reference parity: these produce the same sums as the dense quadrature
+applies replacing the reference's FMM backends (SURVEY.md 2.2:
+pyfmmlib2d/fmm2dpy/flexmm rows; reference call sites
+ipde/solvers/internals/scalar.py:87-113).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+f32 = jnp.float32
+i32 = jnp.int32
+
+_TT = 256          # targets per tile (sublane axis)
+_SB = 128          # sources per block (lane axis)
+
+
+# ---------------------------------------------------------------------------
+# double-single primitives on f32 arrays (error-free transforms)
+# ---------------------------------------------------------------------------
+
+def _two_sum(a, b):
+    """a + b = s + e exactly (Knuth; 6 flops, adds only)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _fast_two_sum(a, b):
+    """a + b = s + e exactly, REQUIRES |a| >= |b| (3 flops)."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def _split(a):
+    """Dekker split via mantissa masking (contraction-proof): a = hi + lo
+    with hi carrying the top 12 mantissa bits, both halves exact."""
+    bits = jax.lax.bitcast_convert_type(a, i32)
+    hi = jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(bits, jnp.int32(-4096)), f32)  # ~0xFFF = -4096
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    """a * b = p + e, accurate to ~2^-46 relative, CONTRACTION-IMMUNE.
+
+    XLA contracts mul+add into fma inside fusions with broadcast
+    operands (measured on XLA:CPU; independent of fast-math flags, and
+    jax.lax.optimization_barrier does NOT stop it).  fma(a, b, t)
+    differs from fl(fl(a*b) + t) by up to 1 ulp of a*b, which silently
+    breaks classic Dekker two_prod AND any downstream two_sum fed by a
+    raw product.  Rule enforced throughout this module: ONLY
+    EXACTLY-REPRESENTABLE PRODUCTS MAY FEED AN ADD -- then contraction
+    is value-neutral by construction.  All split-piece products here
+    are <= 24-bit (12-bit x 12-bit mantissas), hence exact."""
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    p0, t0 = _two_sum(ah * bh, ah * bl)     # exact products into exact sum
+    p1, t1 = _two_sum(p0, al * bh)          # exact product
+    return p1, (t0 + t1) + al * bl          # small corrections: fl is fine
+
+
+def _ds_add(ah, al, bh, bl):
+    sh, se = _two_sum(ah, bh)
+    return _fast_two_sum(sh, se + (al + bl))
+
+
+def _ds_sub(ah, al, bh, bl):
+    return _ds_add(ah, al, -bh, -bl)
+
+
+def _ds_mul(ah, al, bh, bl):
+    ph, pe = _two_prod(ah, bh)
+    # cross terms are ~2^-24-scale corrections: contraction harmless
+    return _fast_two_sum(ph, pe + (ah * bl + al * bh))
+
+
+def _ds_sqr(ah, al):
+    h, l = _split(ah)
+    p0, t0 = _two_sum(h * h, 2.0 * (h * l))  # both products exact
+    pe = (t0 + l * l) + 2.0 * (ah * al)      # corrections: fl is fine
+    return _fast_two_sum(p0, pe)
+
+
+def _ds_recip(bh, bl):
+    q1 = 1.0 / bh
+    th, tl = _two_prod(q1, bh)
+    # e = 1 - q1*b  (1 - th is exact: th ~ 1, Sterbenz)
+    e = ((1.0 - th) - tl) - q1 * bl
+    return _fast_two_sum(q1, q1 * e)
+
+
+def _ds_div(ah, al, bh, bl):
+    q1 = ah / bh
+    th, tl = _two_prod(q1, bh)
+    # r = a - q1*b in ds, then one more quotient digit
+    rh, rl = _ds_add(ah, al, -th, -tl)
+    q2 = (rh + (rl - q1 * bl)) / bh
+    return _fast_two_sum(q1, q2)
+
+
+def _ds_scale(ah, al, c: float):
+    """Multiply by an exactly-representable f32 constant (power of two or
+    small rational with short mantissa): exact."""
+    return ah * f32(c), al * f32(c)
+
+
+def _cbar(c: float, like):
+    """A scalar constant as a compiler-opaque array.
+
+    XLA's algebraic simplifier rewrites (const + x) - const -> x (and
+    kin) when one operand is a literal, which silently zeroes the
+    compensation term of any error-free transform involving a constant
+    (measured: two_sum(1.0, -x) under jit returns e wrong by 2^-25).
+    An optimization_barrier around the broadcast constant blocks the
+    HLO-level rewrite (unlike LLVM fma contraction, which barriers do
+    NOT block -- that one is handled structurally in _two_prod)."""
+    return jax.lax.optimization_barrier(jnp.full(like.shape, f32(c)))
+
+
+def _ds_const(x: float):
+    """Split a python float into an f32 ds pair (host-side)."""
+    hi = float(jnp.float32(x))
+    lo = float(jnp.float32(x - hi))
+    return hi, lo
+
+
+# ---------------------------------------------------------------------------
+# log(r2) in double-single, exp-free
+# ---------------------------------------------------------------------------
+
+_LN2_H, _LN2_L = _ds_const(math.log(2.0))
+# third piece of ln2 (below f32 in the ds constant): fold into lo on the fly
+_LN2_L2 = float(math.log(2.0) - _LN2_H - _LN2_L)
+_SQRT2 = float(math.sqrt(2.0))
+# atanh-series coefficients 1/(2n+3) as ds pairs for the head terms
+_C3 = _ds_const(1.0 / 3.0)
+_C5 = _ds_const(1.0 / 5.0)
+_C7 = _ds_const(1.0 / 7.0)
+
+
+def _log_ds(r2h, r2l):
+    """log(r2) for a ds input (r2h >= 1e-30 assumed pre-clamped).
+
+    Algorithm: r2h = m 2^k with m in [1/sqrt2, sqrt2) via exponent bit
+    extraction; log m by the atanh series in t = (m-1)/(m+1) (|t| <=
+    0.1716, t^2 <= 0.0295) with the first three series coefficients in
+    double-single and the tail in f32; the lo part enters as
+    log1p(r2l/r2h) ~ d - d^2/2 in f32 (|d| < 6e-8).  Accuracy: the
+    double-single representation floor |log r2| * 2^-47 (measured <=
+    2.5e-13 over r2 in [1e-26, 1e6]); below r2 ~ 1e-31 the r2l part is
+    a subnormal f32 that flush-to-zero hardware drops, costing up to
+    ~6e-8 relative on r2 -- irrelevant here since quadrature sources
+    stay >= h/2 from every target.  No transcendental instruction is
+    used anywhere.
+    """
+    bits = jax.lax.bitcast_convert_type(r2h, i32)
+    e = jnp.right_shift(bits, 23) - 127          # unbiased exponent
+    mbits = jnp.bitwise_or(jnp.bitwise_and(bits, jnp.int32(0x007FFFFF)),
+                           jnp.int32(0x3F800000))
+    m = jax.lax.bitcast_convert_type(mbits, f32)          # [1, 2)
+    big = m > _SQRT2
+    m = jnp.where(big, 0.5 * m, m)                        # [0.7071, 1.4142)
+    kf = (e + big.astype(i32)).astype(f32)
+
+    # t = (m - 1) / (m + 1) in ds; m - 1 is exact (Sterbenz); the
+    # constant 1 must be opaque or the simplifier kills two_sum (_cbar)
+    one = _cbar(1.0, m)
+    dh, dl = _two_sum(m, one)
+    th, tl = _ds_div(m - one, jnp.zeros_like(m), dh, dl)
+    t2h, t2l = _ds_sqr(th, tl)
+
+    # tail in f32: 1/9 + t2 (1/11 + t2 (1/13 + t2 (1/15 + t2/17)))
+    tail = f32(1.0 / 9.0) + t2h * (
+        f32(1.0 / 11.0) + t2h * (f32(1.0 / 13.0) + t2h * (
+            f32(1.0 / 15.0) + t2h * f32(1.0 / 17.0))))
+    sh, sl = _ds_add(_cbar(_C7[0], m), f32(_C7[1]),
+                     *_ds_mul(t2h, t2l, tail, jnp.zeros_like(tail)))
+    sh, sl = _ds_add(_cbar(_C5[0], m), f32(_C5[1]),
+                     *_ds_mul(t2h, t2l, sh, sl))
+    sh, sl = _ds_add(_cbar(_C3[0], m), f32(_C3[1]),
+                     *_ds_mul(t2h, t2l, sh, sl))
+    # log m = 2t + 2 t t2 s
+    uh, ul = _ds_mul(t2h, t2l, sh, sl)
+    vh, vl = _ds_mul(uh, ul, th, tl)
+    wh, wl = _ds_add(th, tl, vh, vl)
+    logm_h, logm_l = 2.0 * wh, 2.0 * wl
+
+    # k ln2 in ds: exact product with the hi piece, compensated lo pieces
+    kh, ke = _two_prod(kf, f32(_LN2_H))
+    k2h, k2e = _two_prod(kf, f32(_LN2_L))
+    klh, kll = _ds_add(kh, ke, k2h, k2e)
+    kll = kll + kf * f32(_LN2_L2)
+
+    out_h, out_l = _ds_add(klh, kll, logm_h, logm_l)
+    # lo-part correction: log(1 + r2l/r2h) ~ d - d^2/2 (f32 suffices)
+    d = r2l / r2h
+    return _fast_two_sum(out_h, out_l + (d - 0.5 * d * d))
+
+
+# ---------------------------------------------------------------------------
+# pairwise kernels
+# ---------------------------------------------------------------------------
+
+def _pair_geometry(txh, txl, tyh, tyl, sxh, sxl, syh, syl):
+    """dx, dy, r2 (clamped) in ds for a (TT,1) x (1,SB) pair block."""
+    dxh, dxl = _ds_sub(txh, txl, sxh, sxl)
+    dyh, dyl = _ds_sub(tyh, tyl, syh, syl)
+    x2h, x2l = _ds_sqr(dxh, dxl)
+    y2h, y2l = _ds_sqr(dyh, dyl)
+    r2h, r2l = _ds_add(x2h, x2l, y2h, y2l)
+    # clamp: coincident/masked lanes must stay finite (cf. accurate_log)
+    tiny = r2h < f32(1e-30)
+    r2h = jnp.where(tiny, f32(1e-30), r2h)
+    r2l = jnp.where(tiny, f32(0.0), r2l)
+    return (dxh, dxl), (dyh, dyl), (r2h, r2l)
+
+
+def _lane_reduce_ds(hh, ll):
+    """Sum a (TT, SB) ds array over lanes -> lane 0, via a ds roll tree
+    (jnp.sum on the parts would lose ~4e-7 relative; this stays ~2^-48)."""
+    sh = _SB // 2
+    while sh >= 1:
+        # lane i accumulates lane i+sh (circular; only lane 0 is consumed)
+        rh = pltpu.roll(hh, _SB - sh, 1)
+        rl = pltpu.roll(ll, _SB - sh, 1)
+        hh, ll = _ds_add(hh, ll, rh, rl)
+        sh //= 2
+    return hh, ll
+
+
+def _laplace_kernel(txh_ref, txl_ref, tyh_ref, tyl_ref,
+                    sxh_ref, sxl_ref, syh_ref, syl_ref, qh_ref, ql_ref,
+                    oh_ref, ol_ref):
+    """sum_j -log|x-s_j|^2 * q_j  (caller scales by 1/(4 pi))."""
+    txh = txh_ref[:, :]
+    txl = txl_ref[:, :]
+    tyh = tyh_ref[:, :]
+    tyl = tyl_ref[:, :]
+    nsb = sxh_ref.shape[0]
+
+    def body(j, acc):
+        ah, al = acc
+        sxh = sxh_ref[pl.ds(j, 1), :]
+        sxl = sxl_ref[pl.ds(j, 1), :]
+        syh = syh_ref[pl.ds(j, 1), :]
+        syl = syl_ref[pl.ds(j, 1), :]
+        qh = qh_ref[pl.ds(j, 1), :]
+        ql = ql_ref[pl.ds(j, 1), :]
+        _, _, (r2h, r2l) = _pair_geometry(txh, txl, tyh, tyl,
+                                          sxh, sxl, syh, syl)
+        lh, ll = _log_ds(r2h, r2l)
+        mh, ml = _ds_mul(lh, ll, qh, ql)
+        return _ds_add(ah, al, -mh, -ml)
+
+    z = jnp.zeros((_TT, _SB), f32)
+    ah, al = jax.lax.fori_loop(0, nsb, body, (z, z))
+    ah, al = _lane_reduce_ds(ah, al)
+    oh_ref[:, :] = ah[:, 0:1]
+    ol_ref[:, :] = al[:, 0:1]
+
+
+def _laplace_grad_kernel(txh_ref, txl_ref, tyh_ref, tyl_ref,
+                         sxh_ref, sxl_ref, syh_ref, syl_ref,
+                         qh_ref, ql_ref,
+                         gxh_ref, gxl_ref, gyh_ref, gyl_ref):
+    """(d/dx, d/dy) sum_j -log|x-s_j| q_j = sum_j -(dx, dy)/r2 q_j
+    (caller scales by 1/(2 pi))."""
+    txh = txh_ref[:, :]
+    txl = txl_ref[:, :]
+    tyh = tyh_ref[:, :]
+    tyl = tyl_ref[:, :]
+    nsb = sxh_ref.shape[0]
+
+    def body(j, acc):
+        xh, xl, yh, yl = acc
+        sxh = sxh_ref[pl.ds(j, 1), :]
+        sxl = sxl_ref[pl.ds(j, 1), :]
+        syh = syh_ref[pl.ds(j, 1), :]
+        syl = syl_ref[pl.ds(j, 1), :]
+        qh = qh_ref[pl.ds(j, 1), :]
+        ql = ql_ref[pl.ds(j, 1), :]
+        (dxh, dxl), (dyh, dyl), (r2h, r2l) = _pair_geometry(
+            txh, txl, tyh, tyl, sxh, sxl, syh, syl)
+        ih, il = _ds_recip(r2h, r2l)
+        cqh, cql = _ds_mul(ih, il, qh, ql)
+        mxh, mxl = _ds_mul(dxh, dxl, cqh, cql)
+        myh, myl = _ds_mul(dyh, dyl, cqh, cql)
+        xh, xl = _ds_add(xh, xl, -mxh, -mxl)
+        yh, yl = _ds_add(yh, yl, -myh, -myl)
+        return xh, xl, yh, yl
+
+    z = jnp.zeros((_TT, _SB), f32)
+    xh, xl, yh, yl = jax.lax.fori_loop(0, nsb, body, (z, z, z, z))
+    xh, xl = _lane_reduce_ds(xh, xl)
+    yh, yl = _lane_reduce_ds(yh, yl)
+    gxh_ref[:, :] = xh[:, 0:1]
+    gxl_ref[:, :] = xl[:, 0:1]
+    gyh_ref[:, :] = yh[:, 0:1]
+    gyl_ref[:, :] = yl[:, 0:1]
+
+
+def _stokes_kernel(txh_ref, txl_ref, tyh_ref, tyl_ref,
+                   sxh_ref, sxl_ref, syh_ref, syl_ref,
+                   fxh_ref, fxl_ref, fyh_ref, fyl_ref,
+                   uh_ref, ul_ref, vh_ref, vl_ref, ph_ref, pl_ref):
+    """Stokeslet velocity+pressure (conventions of ops/stokes_kernels.py):
+      u = sum (ilr + dx^2/r2) fx + (dx dy / r2) fy        [/ 4 pi by caller]
+      v = sum (dx dy / r2) fx + (ilr + dy^2/r2) fy
+      p = sum (dx fx + dy fy) / r2                        [/ 2 pi by caller]
+    with ilr = -log(r2)/2.  Uses dy^2/r2 = 1 - dx^2/r2 (exact identity)."""
+    txh = txh_ref[:, :]
+    txl = txl_ref[:, :]
+    tyh = tyh_ref[:, :]
+    tyl = tyl_ref[:, :]
+    nsb = sxh_ref.shape[0]
+
+    def body(j, acc):
+        uh, ul, vh, vl, ph, pll = acc
+        sxh = sxh_ref[pl.ds(j, 1), :]
+        sxl = sxl_ref[pl.ds(j, 1), :]
+        syh = syh_ref[pl.ds(j, 1), :]
+        syl = syl_ref[pl.ds(j, 1), :]
+        fxh = fxh_ref[pl.ds(j, 1), :]
+        fxl = fxl_ref[pl.ds(j, 1), :]
+        fyh = fyh_ref[pl.ds(j, 1), :]
+        fyl = fyl_ref[pl.ds(j, 1), :]
+        (dxh, dxl), (dyh, dyl), (r2h, r2l) = _pair_geometry(
+            txh, txl, tyh, tyl, sxh, sxl, syh, syl)
+        lh, ll = _log_ds(r2h, r2l)
+        ilrh, ilrl = -0.5 * lh, -0.5 * ll
+        ih, il = _ds_recip(r2h, r2l)
+        # a = dx^2/r2, b = dy^2/r2, c = dx dy / r2 (b computed directly:
+        # the 1 - a identity hits the constant-simplifier hazard, _cbar)
+        x2h, x2l = _ds_sqr(dxh, dxl)
+        ah, al = _ds_mul(x2h, x2l, ih, il)
+        y2h, y2l = _ds_sqr(dyh, dyl)
+        bh, bl = _ds_mul(y2h, y2l, ih, il)
+        xyh, xyl = _ds_mul(dxh, dxl, dyh, dyl)
+        ch, cl = _ds_mul(xyh, xyl, ih, il)
+        # u += (ilr + a) fx + c fy
+        t1h, t1l = _ds_add(ilrh, ilrl, ah, al)
+        m1h, m1l = _ds_mul(t1h, t1l, fxh, fxl)
+        m2h, m2l = _ds_mul(ch, cl, fyh, fyl)
+        uh, ul = _ds_add(uh, ul, *_ds_add(m1h, m1l, m2h, m2l))
+        # v += c fx + (ilr + b) fy
+        t2h, t2l = _ds_add(ilrh, ilrl, bh, bl)
+        m3h, m3l = _ds_mul(ch, cl, fxh, fxl)
+        m4h, m4l = _ds_mul(t2h, t2l, fyh, fyl)
+        vh, vl = _ds_add(vh, vl, *_ds_add(m3h, m3l, m4h, m4l))
+        # p += (dx fx + dy fy) / r2
+        n1h, n1l = _ds_mul(dxh, dxl, fxh, fxl)
+        n2h, n2l = _ds_mul(dyh, dyl, fyh, fyl)
+        nh, nl = _ds_add(n1h, n1l, n2h, n2l)
+        mph, mpl = _ds_mul(nh, nl, ih, il)
+        ph, pll = _ds_add(ph, pll, mph, mpl)
+        return uh, ul, vh, vl, ph, pll
+
+    z = jnp.zeros((_TT, _SB), f32)
+    uh, ul, vh, vl, ph, pll = jax.lax.fori_loop(
+        0, nsb, body, (z, z, z, z, z, z))
+    uh, ul = _lane_reduce_ds(uh, ul)
+    vh, vl = _lane_reduce_ds(vh, vl)
+    ph, pll = _lane_reduce_ds(ph, pll)
+    uh_ref[:, :] = uh[:, 0:1]
+    ul_ref[:, :] = ul[:, 0:1]
+    vh_ref[:, :] = vh[:, 0:1]
+    vl_ref[:, :] = vl[:, 0:1]
+    ph_ref[:, :] = ph[:, 0:1]
+    pl_ref[:, :] = pll[:, 0:1]
+
+
+# ---------------------------------------------------------------------------
+# host-side wrappers: f64 <-> ds packing, padding, pallas_call dispatch
+# ---------------------------------------------------------------------------
+
+def _to_ds(x):
+    x = jnp.asarray(x, jnp.float64)
+    hi = x.astype(f32)
+    lo = (x - hi.astype(jnp.float64)).astype(f32)
+    return hi, lo
+
+
+def _from_ds(hi, lo):
+    return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+
+
+def _pad_targets(t, Tpad):
+    return jnp.pad(t, (0, Tpad - t.shape[0])).reshape(Tpad, 1)
+
+
+def _pad_sources(s, Spad, fill=0.0):
+    return jnp.pad(s, (0, Spad - s.shape[0]),
+                   constant_values=fill).reshape(Spad // _SB, _SB)
+
+
+def _target_spec():
+    return pl.BlockSpec((_TT, 1), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _source_spec():
+    return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "interpret"))
+def _dispatch(kind, interpret, sx, sy, q1, q2, tx, ty):
+    """Shared entry: packs ds operands, pads, runs the kernel, unpacks.
+    q2 is None for scalar kernels (laplace/grad)."""
+    T = tx.shape[0]
+    S = sx.shape[0]
+    Tpad = -(-T // _TT) * _TT
+    Spad = -(-S // _SB) * _SB
+    txh, txl = _to_ds(tx)
+    tyh, tyl = _to_ds(ty)
+    sxh, sxl = _to_ds(sx)
+    syh, syl = _to_ds(sy)
+    tgt = [_pad_targets(a, Tpad) for a in (txh, txl, tyh, tyl)]
+    srcs = [_pad_sources(a, Spad) for a in (sxh, sxl, syh, syl)]
+    qh, ql = _to_ds(q1)
+    srcs += [_pad_sources(qh, Spad), _pad_sources(ql, Spad)]
+    if q2 is not None:
+        q2h, q2l = _to_ds(q2)
+        srcs += [_pad_sources(q2h, Spad), _pad_sources(q2l, Spad)]
+
+    n_out = {"laplace": 2, "grad": 4, "stokes": 6}[kind]
+    kernel = {"laplace": _laplace_kernel, "grad": _laplace_grad_kernel,
+              "stokes": _stokes_kernel}[kind]
+    flops_per_pair = {"laplace": 300, "grad": 180, "stokes": 560}[kind]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Tpad // _TT,),
+        in_specs=[_target_spec()] * 4 + [_source_spec()] * (len(srcs)),
+        out_specs=[_target_spec()] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((Tpad, 1), f32)] * n_out,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_pair * Tpad * Spad,
+            bytes_accessed=4 * (Tpad * (4 + n_out) + Spad * len(srcs)),
+            transcendentals=0),
+        interpret=interpret,
+    )(*tgt, *srcs)
+    return [_from_ds(outs[2 * i], outs[2 * i + 1])[:, 0][:T]
+            for i in range(n_out // 2)]
+
+
+def laplace_slp_apply(sx, sy, weighted_charge, tx, ty, *, interpret=False):
+    """Pallas ds twin of ops.kernels.laplace_slp_apply."""
+    (out,) = _dispatch("laplace", interpret, jnp.asarray(sx),
+                       jnp.asarray(sy), jnp.asarray(weighted_charge), None,
+                       jnp.asarray(tx), jnp.asarray(ty))
+    return out / (4 * jnp.pi)
+
+
+def laplace_slp_grad_apply(sx, sy, weighted_charge, tx, ty, *,
+                           interpret=False):
+    gx, gy = _dispatch("grad", interpret, jnp.asarray(sx), jnp.asarray(sy),
+                       jnp.asarray(weighted_charge), None,
+                       jnp.asarray(tx), jnp.asarray(ty))
+    return gx / (2 * jnp.pi), gy / (2 * jnp.pi)
+
+
+def stokes_slp_apply(sx, sy, wfx, wfy, tx, ty, *, interpret=False):
+    u, v, p = _dispatch("stokes", interpret, jnp.asarray(sx),
+                        jnp.asarray(sy), jnp.asarray(wfx), jnp.asarray(wfy),
+                        jnp.asarray(tx), jnp.asarray(ty))
+    return u / (4 * jnp.pi), v / (4 * jnp.pi), p / (2 * jnp.pi)

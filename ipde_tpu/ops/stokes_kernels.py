@@ -158,6 +158,10 @@ def stokes_pressure_fix(src: BoundaryCurve, tx_n, ty_n) -> np.ndarray:
 
 def stokes_slp_apply(sx, sy, wfx, wfy, tx, ty):
     """Velocity (u, v) and pressure p at targets from weighted forces."""
+    from ipde_tpu.ops.kernels import use_pallas
+    if use_pallas():
+        from ipde_tpu.ops import pallas_ds
+        return pallas_ds.stokes_slp_apply(sx, sy, wfx, wfy, tx, ty)
     sx = jnp.asarray(sx)
     sy = jnp.asarray(sy)
     wfx = jnp.asarray(wfx)
