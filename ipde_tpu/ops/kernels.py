@@ -146,6 +146,10 @@ def mh_slp_apply(sx, sy, weighted_charge, tx, ty, k: float):
     small z: K0 = -log(z/2) I0(z) + poly(z^2);  large z: asymptotic
     sqrt(pi/(2z)) e^{-z} poly(1/z).  Accuracy ~1e-14 (tested against scipy).
     """
+    if use_pallas():
+        from ipde_tpu.ops import pallas_ds
+        return pallas_ds.mh_slp_apply(sx, sy, weighted_charge, tx, ty, k)
+
     def chunk(cx, cy):
         dx = cx[:, None] - sx[None, :]
         dy = cy[:, None] - sy[None, :]

@@ -156,9 +156,11 @@ def _cbar(c: float, like):
 
 
 def _ds_const(x: float):
-    """Split a python float into an f32 ds pair (host-side)."""
-    hi = float(jnp.float32(x))
-    lo = float(jnp.float32(x - hi))
+    """Split a python float into an f32 ds pair (host-side numpy: jnp
+    scalar constructors stage to tracers inside an active jit trace)."""
+    import numpy as _np
+    hi = float(_np.float32(x))
+    lo = float(_np.float32(x - hi))
     return hi, lo
 
 
@@ -233,6 +235,155 @@ def _log_ds(r2h, r2l):
     # lo-part correction: log(1 + r2l/r2h) ~ d - d^2/2 (f32 suffices)
     d = r2l / r2h
     return _fast_two_sum(out_h, out_l + (d - 0.5 * d * d))
+
+
+def _ds_add_c(c, xh, xl):
+    """ds x + exact python-float ds constant c = (c_hi, c_lo), with the
+    constant's hi part made compiler-opaque (_cbar hazard)."""
+    ch = _cbar(c[0], xh)
+    sh, se = _two_sum(ch, xh)
+    return _fast_two_sum(sh, se + (f32(c[1]) + xl))
+
+
+def _ds_mul_c(c, xh, xl):
+    """ds x * exact python-float ds constant c = (c_hi, c_lo)."""
+    ph, pe = _two_prod(jnp.full(xh.shape, f32(c[0])), xh)
+    return _fast_two_sum(ph, pe + (f32(c[0]) * xl + f32(c[1]) * xh))
+
+
+def _ds_sqrt(xh, xl):
+    """sqrt of a ds number (x > 0), ~2^-48 relative: f32 seed + one ds
+    Newton step + one f32 polish (the seed's d^2 term is ~1e-14)."""
+    y0 = jnp.sqrt(xh)
+    s0h, s0l = _ds_sqr(y0, jnp.zeros_like(y0))
+    dh, dl = _ds_add(xh, xl, -s0h, -s0l)
+    half_iy = 0.5 / y0
+    y1h, y1l = _fast_two_sum(y0, dh * half_iy)
+    s1h, s1l = _ds_sqr(y1h, y1l)
+    d1h, _ = _ds_add(xh, xl, -s1h, -s1l)
+    return _fast_two_sum(y1h, y1l + d1h * half_iy)
+
+
+_EXPC = tuple(_ds_const(1.0 / math.factorial(n)) for n in range(13, 1, -1))
+
+
+def _ds_exp_neg(zh, zl):
+    """e^{-z} for z in [0, ~36] in ds (~1e-15 relative).
+
+    z = k ln2 + r with |r| <= 0.347; e^{-z} = 2^{-k} e^{-r}, the Taylor
+    series of e^{-r} in ds (13 terms) and an exact per-lane 2^{-k} scale
+    built by exponent bit assembly.  Callers clamp z <= 36 (k <= 52)."""
+    kf = jnp.round(zh * f32(1.0 / math.log(2.0)))
+    # r = z - k ln2 via exact products with the split ln2 pieces
+    kh, ke = _two_prod(kf, f32(_LN2_H))
+    k2h, k2e = _two_prod(kf, f32(_LN2_L))
+    klh, kll = _ds_add(kh, ke, k2h, k2e)
+    kll = kll + kf * f32(_LN2_L2)
+    rh, rl = _ds_add(zh, zl, -klh, -kll)
+    rh, rl = -rh, -rl                      # e^{-z}: series argument is -r
+    eh = jnp.full(rh.shape, f32(_EXPC[0][0]))
+    el = jnp.full(rh.shape, f32(_EXPC[0][1]))
+    for c in _EXPC[1:]:
+        eh, el = _ds_add_c(c, *_ds_mul(eh, el, rh, rl))
+    for c in ((1.0, 0.0), (1.0, 0.0)):     # ... + r^1/1! + r^0/0!
+        eh, el = _ds_add_c(c, *_ds_mul(eh, el, rh, rl))
+    # scale by 2^{-k}: assemble the power of two from exponent bits
+    ki = kf.astype(i32)
+    p2 = jax.lax.bitcast_convert_type(
+        jnp.left_shift(jnp.int32(127) - ki, 23), f32)
+    return eh * p2, el * p2
+
+
+# ---------------------------------------------------------------------------
+# K0 (modified Bessel, Yukawa kernel) in double-single
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=4)
+def _k0_cheb_ds(lo: float = 2.0, hi: float = 36.0, deg: int = 26):
+    """Host Chebyshev fit of f(z) = K0(z) e^z sqrt(z) IN u = 1/z on
+    [1/hi, 1/lo] as ds coefficient pairs (the 1/z transform moves the
+    z=0 singularity away: deg 26 reaches ~2e-15 where a fit in z needs
+    deg 60).  Residual checked at build time."""
+    from scipy.special import k0 as _sk0
+    import numpy as _np
+    n = 400
+    ulo, uhi = 1.0 / hi, 1.0 / lo
+    xc = _np.cos(_np.pi * (_np.arange(n) + 0.5) / n)
+    uc = 0.5 * (uhi + ulo) + 0.5 * (uhi - ulo) * xc
+    zc = 1.0 / uc
+    fv = _sk0(zc) * _np.exp(zc) * _np.sqrt(zc)
+    c = _np.polynomial.chebyshev.chebfit(xc, fv, deg - 1)
+    resid = _np.abs(_np.polynomial.chebyshev.chebval(xc, c) - fv) / fv
+    assert resid.max() < 3e-15, f"K0 cheb fit residual {resid.max():.2e}"
+    return tuple(_ds_const(float(v)) for v in c), lo, hi, ulo, uhi
+
+
+# harmonic numbers and inverse square factorials for the small-z series
+_K0_SMALL_TERMS = 14
+_GAMMA = 0.5772156649015328606
+
+
+def _k0_ds(qh, ql, zh, zl):
+    """K0(z) in ds given both q = z^2/4 and z (z >= 0, clamped tiny).
+
+    Branches: series (z < 2), Chebyshev of K0 e^z sqrt(z) on [2, 36],
+    zero beyond 36 (K0(36) ~ 4e-17 < the 1e-14 target).  All lanes pay
+    all branches (TPU select), ~2.5k f32 ops/pair total."""
+    small = zh < f32(2.0)
+    # --- small branch: K0 = -(log(z/2) + gamma) I0(q) + sum H_m q^m/(m!)^2
+    qsh = jnp.where(small, qh, f32(1.0))
+    qsl = jnp.where(small, ql, f32(0.0))
+    qsh = jnp.maximum(qsh, f32(1e-30))
+    # constant-array initializers must be opaque (_cbar): the first
+    # ds_add would otherwise hit the (1 + x) - 1 simplifier rewrite
+    term_h = _cbar(1.0, qh)
+    term_l = jnp.zeros_like(qh)
+    i0h, i0l = _cbar(1.0, qh), jnp.zeros_like(qh)
+    ach = jnp.zeros_like(qh)
+    acl = jnp.zeros_like(qh)
+    H = 0.0
+    for m in range(1, _K0_SMALL_TERMS):
+        term_h, term_l = _ds_mul_c(_ds_const(1.0 / (m * m)),
+                                   *_ds_mul(term_h, term_l, qsh, qsl))
+        i0h, i0l = _ds_add(i0h, i0l, term_h, term_l)
+        H += 1.0 / m
+        th, tl = _ds_mul_c(_ds_const(H), term_h, term_l)
+        ach, acl = _ds_add(ach, acl, th, tl)
+    # log(z/2) = (log q) / 2
+    lqh, lql = _log_ds(qsh, qsl)
+    ph, pll = _ds_add_c(_ds_const(_GAMMA), 0.5 * lqh, 0.5 * lql)
+    mh, ml = _ds_mul(ph, pll, i0h, i0l)
+    small_h, small_l = _ds_add(ach, acl, -mh, -ml)
+    # --- mid branch: K0 = cheb(affine(1/z)) e^{-z} / sqrt(z)
+    c, lo, hi, ulo, uhi = _k0_cheb_ds()
+    zch = jnp.clip(zh, f32(lo), f32(hi))
+    zcl = jnp.where((zh > f32(lo)) & (zh < f32(hi)), zl, f32(0.0))
+    rzh, rzl = _ds_recip(zch, zcl)
+    s = 2.0 / (uhi - ulo)
+    uh, ul = _ds_add_c(_ds_const(-(uhi + ulo) / (uhi - ulo)),
+                       *_ds_mul_c(_ds_const(s), rzh, rzl))
+    u2h, u2l = 2.0 * uh, 2.0 * ul
+    b1h = jnp.zeros_like(zh)
+    b1l = jnp.zeros_like(zh)
+    b2h = jnp.zeros_like(zh)
+    b2l = jnp.zeros_like(zh)
+    for ck in c[::-1][:-1]:
+        th, tl = _ds_add(*_ds_mul(u2h, u2l, b1h, b1l), -b2h, -b2l)
+        nh, nl = _ds_add_c(ck, th, tl)
+        b2h, b2l, b1h, b1l = b1h, b1l, nh, nl
+    th, tl = _ds_add(*_ds_mul(uh, ul, b1h, b1l), -b2h, -b2l)
+    fh, fl = _ds_add_c(c[0], th, tl)
+    eh, el = _ds_exp_neg(zch, zcl)
+    sqh, sql = _ds_sqrt(zch, zcl)
+    num_h, num_l = _ds_mul(fh, fl, eh, el)
+    mid_h, mid_l = _ds_div(num_h, num_l, sqh, sql)
+    # --- select
+    out_h = jnp.where(small, small_h, mid_h)
+    out_l = jnp.where(small, small_l, mid_l)
+    dead = zh > f32(hi)
+    out_h = jnp.where(dead, f32(0.0), out_h)
+    out_l = jnp.where(dead, f32(0.0), out_l)
+    return out_h, out_l
 
 
 # ---------------------------------------------------------------------------
@@ -335,6 +486,46 @@ def _laplace_grad_kernel(txh_ref, txl_ref, tyh_ref, tyl_ref,
     gxl_ref[:, :] = xl[:, 0:1]
     gyh_ref[:, :] = yh[:, 0:1]
     gyl_ref[:, :] = yl[:, 0:1]
+
+
+def _make_mh_kernel(k: float):
+    """sum_j K0(k |x-s_j|) q_j (caller scales by 1/(2 pi)); k static."""
+    kq = _ds_const(k * k / 4.0)
+    kc = _ds_const(k)
+
+    def kernel(txh_ref, txl_ref, tyh_ref, tyl_ref,
+               sxh_ref, sxl_ref, syh_ref, syl_ref, qh_ref, ql_ref,
+               oh_ref, ol_ref):
+        txh = txh_ref[:, :]
+        txl = txl_ref[:, :]
+        tyh = tyh_ref[:, :]
+        tyl = tyl_ref[:, :]
+        nsb = sxh_ref.shape[0]
+
+        def body(j, acc):
+            ah, al = acc
+            sxh = sxh_ref[pl.ds(j, 1), :]
+            sxl = sxl_ref[pl.ds(j, 1), :]
+            syh = syh_ref[pl.ds(j, 1), :]
+            syl = syl_ref[pl.ds(j, 1), :]
+            qh = qh_ref[pl.ds(j, 1), :]
+            ql = ql_ref[pl.ds(j, 1), :]
+            _, _, (r2h, r2l) = _pair_geometry(txh, txl, tyh, tyl,
+                                              sxh, sxl, syh, syl)
+            qqh, qql = _ds_mul_c(kq, r2h, r2l)           # q = k^2 r^2 / 4
+            rh, rl = _ds_sqrt(r2h, r2l)
+            zh, zl = _ds_mul_c(kc, rh, rl)               # z = k r
+            k0h, k0l = _k0_ds(qqh, qql, zh, zl)
+            mh, ml = _ds_mul(k0h, k0l, qh, ql)
+            return _ds_add(ah, al, mh, ml)
+
+        z = jnp.zeros((_TT, _SB), f32)
+        ah, al = jax.lax.fori_loop(0, nsb, body, (z, z))
+        ah, al = _lane_reduce_ds(ah, al)
+        oh_ref[:, :] = ah[:, 0:1]
+        ol_ref[:, :] = al[:, 0:1]
+
+    return kernel
 
 
 def _stokes_kernel(txh_ref, txl_ref, tyh_ref, tyl_ref,
@@ -440,8 +631,8 @@ def _source_spec():
     return pl.BlockSpec(memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "interpret"))
-def _dispatch(kind, interpret, sx, sy, q1, q2, tx, ty):
+@functools.partial(jax.jit, static_argnames=("kind", "interpret", "kparam"))
+def _dispatch(kind, interpret, sx, sy, q1, q2, tx, ty, kparam=None):
     """Shared entry: packs ds operands, pads, runs the kernel, unpacks.
     q2 is None for scalar kernels (laplace/grad)."""
     T = tx.shape[0]
@@ -460,10 +651,14 @@ def _dispatch(kind, interpret, sx, sy, q1, q2, tx, ty):
         q2h, q2l = _to_ds(q2)
         srcs += [_pad_sources(q2h, Spad), _pad_sources(q2l, Spad)]
 
-    n_out = {"laplace": 2, "grad": 4, "stokes": 6}[kind]
-    kernel = {"laplace": _laplace_kernel, "grad": _laplace_grad_kernel,
-              "stokes": _stokes_kernel}[kind]
-    flops_per_pair = {"laplace": 300, "grad": 180, "stokes": 560}[kind]
+    n_out = {"laplace": 2, "grad": 4, "stokes": 6, "mh": 2}[kind]
+    if kind == "mh":
+        kernel = _make_mh_kernel(kparam)
+    else:
+        kernel = {"laplace": _laplace_kernel, "grad": _laplace_grad_kernel,
+                  "stokes": _stokes_kernel}[kind]
+    flops_per_pair = {"laplace": 300, "grad": 180, "stokes": 560,
+                      "mh": 2600}[kind]
     outs = pl.pallas_call(
         kernel,
         grid=(Tpad // _TT,),
@@ -494,6 +689,14 @@ def laplace_slp_grad_apply(sx, sy, weighted_charge, tx, ty, *,
                        jnp.asarray(weighted_charge), None,
                        jnp.asarray(tx), jnp.asarray(ty))
     return gx / (2 * jnp.pi), gy / (2 * jnp.pi)
+
+
+def mh_slp_apply(sx, sy, weighted_charge, tx, ty, k, *, interpret=False):
+    """Pallas ds twin of ops.kernels.mh_slp_apply (Yukawa K0 kernel)."""
+    (out,) = _dispatch("mh", interpret, jnp.asarray(sx), jnp.asarray(sy),
+                       jnp.asarray(weighted_charge), None,
+                       jnp.asarray(tx), jnp.asarray(ty), kparam=float(k))
+    return out / (2 * jnp.pi)
 
 
 def stokes_slp_apply(sx, sy, wfx, wfy, tx, ty, *, interpret=False):

@@ -103,6 +103,59 @@ def test_stokes_slp_matches_f64():
     assert (np.abs(np.asarray(p) - pp) / pscale).max() < 1e-12
 
 
+def test_ds_sqrt_exp_building_blocks():
+    x = np.concatenate([10.0 ** np.linspace(-12, 4, 1001),
+                        np.linspace(0.5, 2.0, 101)])
+    hi = x.astype(np.float32)
+    lo = (x - hi.astype(np.float64)).astype(np.float32)
+    sh, sl = pds._ds_sqrt(jnp.asarray(hi), jnp.asarray(lo))
+    got = np.asarray(sh, np.float64) + np.asarray(sl, np.float64)
+    rel = np.abs(got / np.sqrt(x) - 1.0)
+    assert rel.max() < 1e-14, rel.max()
+    z = np.linspace(0.0, 36.0, 2001)
+    zh = z.astype(np.float32)
+    zl = (z - zh.astype(np.float64)).astype(np.float32)
+    eh, el = pds._ds_exp_neg(jnp.asarray(zh), jnp.asarray(zl))
+    egot = np.asarray(eh, np.float64) + np.asarray(el, np.float64)
+    # floor: d(e^-z)/e^-z = dz, and the ds input carries |z| 2^-48
+    ebound = 5e-15 + np.abs(z) * 2.0 ** -47
+    erel = np.abs(egot / np.exp(-z) - 1.0)
+    assert (erel / ebound).max() < 1.0, (erel / ebound).max()
+
+
+def test_k0_ds_accuracy():
+    from scipy.special import k0 as scipy_k0
+    z = np.concatenate([10.0 ** np.linspace(-8, 0.3, 1001),
+                        np.linspace(0.5, 40.0, 2001)])
+    zh = z.astype(np.float32)
+    zl = (z - zh.astype(np.float64)).astype(np.float32)
+    zds = zh.astype(np.float64) + zl.astype(np.float64)
+    q = zds * zds / 4.0
+    qh = q.astype(np.float32)
+    ql = (q - qh.astype(np.float64)).astype(np.float32)
+    oh, ol = pds._k0_ds(jnp.asarray(qh), jnp.asarray(ql),
+                        jnp.asarray(zh), jnp.asarray(zl))
+    got = np.asarray(oh, np.float64) + np.asarray(ol, np.float64)
+    want = scipy_k0(zds)
+    # bound: the dense-apply target is ~1e-14 absolute per term, plus the
+    # double-single log floor |log q| 2^-47 at tiny z (z > 36 rounds to 0,
+    # K0 there < 4e-17); identical floor to the XLA accurate_log path
+    err = np.abs(got - np.where(zds > 36.0, 0.0, want))
+    bound = 2e-14 + np.abs(np.log(zds * zds / 4.0)) * 2.0 ** -47
+    assert (err / bound).max() < 1.0, (err / bound).max()
+
+
+def test_mh_slp_matches_f64():
+    from scipy.special import k0 as scipy_k0
+    for k in (1.0, 20.0):
+        sx, sy, q, tx, ty = _cloud(seed=5)
+        got = np.asarray(pds.mh_slp_apply(sx, sy, q, tx, ty, k,
+                                          interpret=True))
+        r = np.sqrt((tx[:, None] - sx) ** 2 + (ty[:, None] - sy) ** 2)
+        want = (scipy_k0(k * r) @ q) / (2 * np.pi)
+        assert np.abs(got - want).max() < 1e-12, (k, np.abs(got - want).max())
+
+
 def test_matches_existing_device_applies():
     """Same answers as the XLA-path applies the solvers currently use."""
     from ipde_tpu.ops import kernels as K

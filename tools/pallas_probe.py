@@ -1,0 +1,104 @@
+"""Validate + time the fused double-single Pallas kernels on real TPU
+against the XLA-emulated-f64 applies (ops/kernels.py, ops/stokes_kernels.py).
+
+Checks, per kernel (laplace / grad / stokes):
+  1. accuracy vs the XLA path on identical double-single-rounded inputs
+     (agreement bound ~1e-12: both paths share the 48-bit coordinate floor)
+  2. wall time at bench-like sizes (T=200k radial targets x S=5400 sources,
+     then T=1M x S=8100), honest host-fetch sync
+
+Usage:  timeout 1200 python tools/pallas_probe.py
+        SIZES="small" python tools/pallas_probe.py   # quick validation only
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from ipde_tpu.ops import kernels as K
+    from ipde_tpu.ops import pallas_ds as pds
+    from ipde_tpu.ops import stokes_kernels as SK
+
+    print(f"backend={jax.default_backend()}", flush=True)
+
+    def cloud(T, S, seed=0):
+        rng = np.random.default_rng(seed)
+        th = 2 * np.pi * np.arange(S) / S
+        sx = np.cos(th) * 1.1
+        sy = np.sin(th) * 1.1
+        r = np.sqrt(rng.uniform(0.01, 1, T))
+        a = rng.uniform(0, 2 * np.pi, T)
+        tx = r * np.cos(a)
+        ty = r * np.sin(a)
+        q = rng.standard_normal(S) / S
+        dsr = lambda x: (x.astype(np.float32).astype(np.float64)
+                         + (x - x.astype(np.float32).astype(np.float64))
+                         .astype(np.float32).astype(np.float64))
+        return map(jnp.asarray, (dsr(sx), dsr(sy), dsr(q), dsr(tx), dsr(ty)))
+
+    def sync(x):
+        return float(jnp.sum(jax.tree_util.tree_leaves(x)[0]))
+
+    def timeit(fn, *args, reps=3):
+        out = fn(*args)
+        _ = sync(out)                    # compile + run
+        t0 = time.time()
+        for _ in range(reps):
+            _ = sync(fn(*args))
+        return (time.time() - t0) / reps * 1e3
+
+    sizes = ([(4096, 1024)] if os.environ.get("SIZES") == "small"
+             else [(4096, 1024), (200_000, 5400), (1_000_000, 8100)])
+    for T, S in sizes:
+        sx, sy, q, tx, ty = cloud(T, S)
+        # --- laplace ---
+        a = np.asarray(K.laplace_slp_apply(sx, sy, q, tx, ty))
+        b = np.asarray(pds.laplace_slp_apply(sx, sy, q, tx, ty))
+        print(f"T={T} S={S} laplace agree={np.abs(a - b).max():.2e}",
+              flush=True)
+        t_x = timeit(K.laplace_slp_apply, sx, sy, q, tx, ty)
+        t_p = timeit(pds.laplace_slp_apply, sx, sy, q, tx, ty)
+        print(f"  laplace xla {t_x:8.1f} ms   pallas {t_p:8.1f} ms  "
+              f"({t_x / t_p:.2f}x)", flush=True)
+        # --- grad ---
+        gx0, gy0 = K.laplace_slp_grad_apply(sx, sy, q, tx, ty)
+        gx1, gy1 = pds.laplace_slp_grad_apply(sx, sy, q, tx, ty)
+        ag = max(np.abs(np.asarray(gx0) - np.asarray(gx1)).max(),
+                 np.abs(np.asarray(gy0) - np.asarray(gy1)).max())
+        print(f"  grad agree={ag:.2e}", flush=True)
+        t_x = timeit(K.laplace_slp_grad_apply, sx, sy, q, tx, ty)
+        t_p = timeit(pds.laplace_slp_grad_apply, sx, sy, q, tx, ty)
+        print(f"  grad    xla {t_x:8.1f} ms   pallas {t_p:8.1f} ms  "
+              f"({t_x / t_p:.2f}x)", flush=True)
+        # --- mh (Yukawa K0), k=20 exercises all branches ---
+        m0 = np.asarray(K.mh_slp_apply(sx, sy, q, tx, ty, 20.0))
+        m1 = np.asarray(pds.mh_slp_apply(sx, sy, q, tx, ty, 20.0))
+        print(f"  mh agree={np.abs(m0 - m1).max():.2e}", flush=True)
+        t_x = timeit(K.mh_slp_apply, sx, sy, q, tx, ty, 20.0)
+        t_p = timeit(pds.mh_slp_apply, sx, sy, q, tx, ty, 20.0)
+        print(f"  mh      xla {t_x:8.1f} ms   pallas {t_p:8.1f} ms  "
+              f"({t_x / t_p:.2f}x)", flush=True)
+        # --- stokes ---
+        u0, v0, p0 = SK.stokes_slp_apply(sx, sy, q, q[::-1], tx, ty)
+        u1, v1, p1 = pds.stokes_slp_apply(sx, sy, q, q[::-1], tx, ty)
+        ast = max(np.abs(np.asarray(u0) - np.asarray(u1)).max(),
+                  np.abs(np.asarray(v0) - np.asarray(v1)).max(),
+                  np.abs(np.asarray(p0) - np.asarray(p1)).max())
+        print(f"  stokes agree={ast:.2e}", flush=True)
+        t_x = timeit(SK.stokes_slp_apply, sx, sy, q, q[::-1], tx, ty)
+        t_p = timeit(pds.stokes_slp_apply, sx, sy, q, q[::-1], tx, ty)
+        print(f"  stokes  xla {t_x:8.1f} ms   pallas {t_p:8.1f} ms  "
+              f"({t_x / t_p:.2f}x)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
