@@ -98,13 +98,11 @@ def kernel_matvec(A, q):
 
 def use_pallas() -> bool:
     """Route dense applies through the fused double-single Pallas kernels
-    (ops/pallas_ds.py).  IPDE_PALLAS=1 forces on, =0 forces off; default
-    off pending hardware validation of the Mosaic compile path."""
+    (ops/pallas_ds.py).  IPDE_PALLAS=1 enables them (Mosaic-compiled on
+    TPU, interpret mode elsewhere -- the latter is for integration
+    testing, not speed); default off pending hardware validation."""
     import os
-    v = os.environ.get("IPDE_PALLAS", "")
-    if v == "1":
-        return jax.default_backend() == "tpu"
-    return False
+    return os.environ.get("IPDE_PALLAS", "") == "1"
 
 
 def laplace_slp_apply(sx, sy, weighted_charge, tx, ty):

@@ -675,8 +675,17 @@ def _dispatch(kind, interpret, sx, sy, q1, q2, tx, ty, kparam=None):
             for i in range(n_out // 2)]
 
 
-def laplace_slp_apply(sx, sy, weighted_charge, tx, ty, *, interpret=False):
+def _default_interpret(interpret):
+    """None -> interpret off the TPU (lets CPU tests run the real
+    integration path end to end); explicit bool wins."""
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
+def laplace_slp_apply(sx, sy, weighted_charge, tx, ty, *, interpret=None):
     """Pallas ds twin of ops.kernels.laplace_slp_apply."""
+    interpret = _default_interpret(interpret)
     (out,) = _dispatch("laplace", interpret, jnp.asarray(sx),
                        jnp.asarray(sy), jnp.asarray(weighted_charge), None,
                        jnp.asarray(tx), jnp.asarray(ty))
@@ -684,22 +693,25 @@ def laplace_slp_apply(sx, sy, weighted_charge, tx, ty, *, interpret=False):
 
 
 def laplace_slp_grad_apply(sx, sy, weighted_charge, tx, ty, *,
-                           interpret=False):
+                           interpret=None):
+    interpret = _default_interpret(interpret)
     gx, gy = _dispatch("grad", interpret, jnp.asarray(sx), jnp.asarray(sy),
                        jnp.asarray(weighted_charge), None,
                        jnp.asarray(tx), jnp.asarray(ty))
     return gx / (2 * jnp.pi), gy / (2 * jnp.pi)
 
 
-def mh_slp_apply(sx, sy, weighted_charge, tx, ty, k, *, interpret=False):
+def mh_slp_apply(sx, sy, weighted_charge, tx, ty, k, *, interpret=None):
     """Pallas ds twin of ops.kernels.mh_slp_apply (Yukawa K0 kernel)."""
+    interpret = _default_interpret(interpret)
     (out,) = _dispatch("mh", interpret, jnp.asarray(sx), jnp.asarray(sy),
                        jnp.asarray(weighted_charge), None,
                        jnp.asarray(tx), jnp.asarray(ty), kparam=float(k))
     return out / (2 * jnp.pi)
 
 
-def stokes_slp_apply(sx, sy, wfx, wfy, tx, ty, *, interpret=False):
+def stokes_slp_apply(sx, sy, wfx, wfy, tx, ty, *, interpret=None):
+    interpret = _default_interpret(interpret)
     u, v, p = _dispatch("stokes", interpret, jnp.asarray(sx),
                         jnp.asarray(sy), jnp.asarray(wfx), jnp.asarray(wfy),
                         jnp.asarray(tx), jnp.asarray(ty))

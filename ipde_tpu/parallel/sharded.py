@@ -45,6 +45,10 @@ def sharded_laplace_slp_apply(mesh: Mesh, sx, sy, weighted_charge, tx, ty,
     typ = jnp.pad(jnp.asarray(ty), (0, Tp - T))
 
     def local(sx_, sy_, q_, ctx, cty):
+        from ipde_tpu.ops.kernels import use_pallas
+        if use_pallas():
+            from ipde_tpu.ops import pallas_ds
+            return pallas_ds.laplace_slp_apply(sx_, sy_, q_, ctx, cty)
         dx = ctx[:, None] - sx_[None, :]
         dy = cty[:, None] - sy_[None, :]
         return kernel_matvec(-accurate_log(dx * dx + dy * dy),
@@ -52,7 +56,7 @@ def sharded_laplace_slp_apply(mesh: Mesh, sx, sy, weighted_charge, tx, ty,
 
     f = shard_map(local, mesh=mesh,
                   in_specs=(P(), P(), P(), P(axis), P(axis)),
-                  out_specs=P(axis))
+                  out_specs=P(axis), check_vma=False)
     out = f(jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(weighted_charge),
             txp, typ)
     return out[:T]
@@ -69,6 +73,10 @@ def sharded_mh_slp_apply(mesh: Mesh, sx, sy, weighted_charge, tx, ty,
     typ = jnp.pad(jnp.asarray(ty), (0, Tp - T))
 
     def local(sx_, sy_, q_, ctx, cty):
+        from ipde_tpu.ops.kernels import use_pallas
+        if use_pallas():
+            from ipde_tpu.ops import pallas_ds
+            return pallas_ds.mh_slp_apply(sx_, sy_, q_, ctx, cty, k)
         dx = ctx[:, None] - sx_[None, :]
         dy = cty[:, None] - sy_[None, :]
         z = k * jnp.sqrt(dx * dx + dy * dy)
@@ -76,7 +84,7 @@ def sharded_mh_slp_apply(mesh: Mesh, sx, sy, weighted_charge, tx, ty,
 
     f = shard_map(local, mesh=mesh,
                   in_specs=(P(), P(), P(), P(axis), P(axis)),
-                  out_specs=P(axis))
+                  out_specs=P(axis), check_vma=False)
     out = f(jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(weighted_charge),
             txp, typ)
     return out[:T]
@@ -93,6 +101,10 @@ def sharded_stokes_slp_apply(mesh: Mesh, sx, sy, wfx, wfy, tx, ty,
     typ = jnp.pad(jnp.asarray(ty), (0, Tp - T))
 
     def local(sx_, sy_, fx_, fy_, ctx, cty):
+        from ipde_tpu.ops.kernels import use_pallas
+        if use_pallas():
+            from ipde_tpu.ops import pallas_ds
+            return pallas_ds.stokes_slp_apply(sx_, sy_, fx_, fy_, ctx, cty)
         dx = ctx[:, None] - sx_[None, :]
         dy = cty[:, None] - sy_[None, :]
         r2 = dx * dx + dy * dy
@@ -109,7 +121,7 @@ def sharded_stokes_slp_apply(mesh: Mesh, sx, sy, wfx, wfy, tx, ty,
 
     f = shard_map(local, mesh=mesh,
                   in_specs=(P(), P(), P(), P(), P(axis), P(axis)),
-                  out_specs=(P(axis), P(axis), P(axis)))
+                  out_specs=(P(axis), P(axis), P(axis)), check_vma=False)
     u, v, p = f(jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(wfx),
                 jnp.asarray(wfy), txp, typ)
     return u[:T], v[:T], p[:T]
