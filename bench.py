@@ -29,6 +29,10 @@ import numpy as np
 def main(pde_override=None):
     import jax
     jax.config.update("jax_enable_x64", True)
+    # BENCH_PLATFORM=cpu pins the CPU backend for local smoke tests (the
+    # axon sitecustomize overrides the JAX_PLATFORMS env var)
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -100,6 +104,10 @@ def main(pde_override=None):
           f"backend={jax.default_backend()}", file=sys.stderr)
 
     jstep = planified(step, solver, bie)
+    # optional executable disk cache (IPDE_AOT_CACHE=<dir>): reruns of the
+    # same shape skip the ~150 s tunnel compile (utils/aot_cache.py)
+    from ipde_tpu.utils.aot_cache import maybe_aot
+    jstep = maybe_aot(jstep, (f.grid, f.radials[0]), f"bench-{pde}-{nb}-{M}")
 
     # NOTE: through remote-execution tunnels block_until_ready can return
     # before the device finishes; a scalar host fetch is the only honest

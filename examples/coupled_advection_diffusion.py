@@ -41,6 +41,7 @@ t_start = time.time()
 helpers = None          # reused across steps (annular solvers/preconditioners
                         # survive geometry regeneration with fixed (n, M))
 k2 = 1.0/(dt*nu)
+step_rows = []
 for n in range(steps):
     t_step = time.time()
     u = EmbeddedFunction.from_function(ebdyc, u_f)
@@ -63,6 +64,9 @@ for n in range(steps):
     t_solve = time.time() - t1
     ebdyc = new_ebdyc
     T += dt
+    step_rows.append({"advect_s": round(t_adv, 2),
+                      "setup_s": round(t_setup, 2),
+                      "solve_s": round(t_solve, 2)})
     print(f"step {n+1}/{steps}: advect {t_adv:.1f}s  solver-setup "
           f"{t_setup:.1f}s  solve {t_solve:.1f}s  "
           f"(total {time.time()-t_start:.0f}s)", flush=True)
@@ -76,3 +80,24 @@ print(f"coupled adv-diff: rel err {max(ge, re)/scale:.2e} after T={T}", flush=Tr
 # mass conservation (no-flux): integral preserved up to boundary leakage
 m0 = 1.0  # initial mass of the normalized Gaussian (minus tail outside)
 print("final mass:", ebdyc.volume_integral(c), flush=True)
+
+# record the per-step cost table (VERDICT r2 item 3: helper reuse means a
+# timestep costs solve + incremental geometry, NOT a full setup -- the
+# first step's setup_s is the one-time build, later steps reuse helpers)
+import json
+import jax
+path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "LEDGER_TPU.json")
+ledger = {}
+if os.path.exists(path):
+    with open(path) as fh:
+        ledger = json.load(fh)
+ledger["coupled_advection_diffusion"] = {
+    "nb": nb, "M": M, "dt": dt, "steps": steps,
+    "rel_err": float(f"{max(ge, re)/scale:.3e}"),
+    "step_rows": step_rows,
+    "backend": jax.default_backend(),
+    "date": time.strftime("%Y-%m-%d"),
+}
+with open(path, "w") as fh:
+    json.dump(ledger, fh, indent=1)
