@@ -8,6 +8,8 @@ Gaussian blob; compare against the exact rotating-diffusing solution.
 """
 import os, sys, time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 from ipde_tpu.geometry.curve import star
 from ipde_tpu.geometry.embedded_boundary import EmbeddedBoundary

@@ -124,6 +124,41 @@ def main():
     ms, _ = timeit(planified(ifc_interp, solver), f.grid, latency=lat)
     print(f"interface interp x3  {ms:8.1f} ms")
 
+    # 3b. interp internals (fine iFFT vs gather+window contraction):
+    # decides whether a tile-binned Pallas gather kernel is worth building
+    def interp_breakdown(name, interp, nmx, nmy):
+        from ipde_tpu.ops.interp import PeriodicInterpolator2D, _pad_modes
+        from ipde_tpu.ops.cx import Cx
+        if not isinstance(interp, PeriodicInterpolator2D):
+            print(f"{name}: exact-interp path (no fine grid)")
+            return
+        p = interp.plan
+        rng = np.random.default_rng(0)
+        mre = jnp.asarray(rng.standard_normal((nmx, nmy)))
+        mim = jnp.asarray(rng.standard_normal((nmx, nmy)))
+
+        def fine_part(re, im):
+            cd = Cx(re * p.deconv, im * p.deconv)
+            cp = _pad_modes(cd, p.nx, p.ny, p.nfx, p.nfy)
+            return interp.fine_plan.ifft2_real(cp)
+
+        msf, fine = timeit(planified(fine_part, solver), mre, mim,
+                           latency=lat)
+        print(f"{name} fine iFFT     {msf:8.1f} ms  (fine {p.nfx}x{p.nfy})")
+
+        def gather_part(fg):
+            patches = jnp.take(fg.ravel(), p.flat_idx, axis=0)
+            patches = patches.reshape(interp.T, interp.w, interp.w)
+            return jnp.einsum("tp,tq,tpq->t", p.wx, p.wy, patches,
+                              precision=jax.lax.Precision.HIGHEST)
+
+        msg, _ = timeit(planified(gather_part, solver), fine, latency=lat)
+        print(f"{name} gather+win    {msg:8.1f} ms  (T={interp.T} w={interp.w})")
+
+    interp_breakdown("ifc-interp", ebdyc.interface_interp, grid.Nx, grid.Ny)
+    interp_breakdown("radial->grid", ebdyc.radial_to_grid_plans[0],
+                     2 * ebdy.M, ebdy.bdy.N)
+
     # 4. annular solve
     zero = jnp.zeros(ebdy.bdy.N)
     def annular(fr):
