@@ -51,6 +51,10 @@ def main(pde_override=None):
     t0 = time.time()
     bdy = star(nb, a=0.2, f=5)
     bh = min(bdy.min_h(), 0.6 / np.abs(bdy.curvature).max() / M)
+    # BENCH_BH forces a finer grid than the boundary requires (the true
+    # 2048^2-class north-star config independent of nb; BASELINE.md:27)
+    if os.environ.get("BENCH_BH"):
+        bh = min(bh, float(os.environ["BENCH_BH"]))
     ebdy = EmbeddedBoundary(bdy, True, M, bh, qfs_tolerance=1e-14)
     ebdyc = EmbeddedBoundaryCollection([ebdy])
     grid = ebdyc.generate_grid(bh)

@@ -44,7 +44,10 @@ def run_case(nb, M, tol=1e-12):
 
     t0 = time.time()
     outer = star(nb, a=0.1, f=3)
-    bh = min(outer.min_h(), 0.6 / np.abs(outer.curvature).max() / M)
+    # cap the strip width so the three annuli stay disjoint even at the
+    # coarsest nb (inclusion gaps ~0.35; M*bh <= 0.16 keeps them apart)
+    bh = min(outer.min_h(), 0.6 / np.abs(outer.curvature).max() / M,
+             0.16 / M)
     Mi = max(M // 2 + 2, 6)     # inclusion strips: disjoint annuli
     nbi = max(nb // 2, 64)
     e0 = EmbeddedBoundary(outer, True, M, bh)
