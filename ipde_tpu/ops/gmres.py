@@ -38,12 +38,20 @@ def _identity(x):
 
 def gmres(matvec: Callable, b: jax.Array, precond: Optional[Callable] = None,
           tol: float = 1e-14, maxiter: int = 100, restart: int = 30,
-          x0: Optional[jax.Array] = None) -> GmresResult:
+          x0: Optional[jax.Array] = None,
+          flexible: bool = False) -> GmresResult:
     """Solve A x = b with right-preconditioned GMRES(restart).
 
     matvec: x -> A x on flat vectors.  precond: r -> M^{-1} r.  Convergence is
     declared when ||b - A x|| <= tol * ||b||.
-    """
+
+    flexible=True stores the preconditioned basis Z (FGMRES, Saad '93) and
+    assembles x = x0 + Z y.  REQUIRED whenever precond is not exactly
+    linear in floating point (e.g. the f32 preconditioner): plain right
+    GMRES assembles x = M(V y), and for an inexactly-linear M that is NOT
+    sum_j y_j M(v_j) -- the Arnoldi residual estimate then silently
+    diverges from the true residual (measured: reported 3e-13 vs true
+    3e-1 with an f32 M).  Costs one extra (restart, n) buffer."""
     if precond is None:
         precond = _identity
     n = b.shape[0]
@@ -63,18 +71,22 @@ def gmres(matvec: Callable, b: jax.Array, precond: Optional[Callable] = None,
         safe_beta = jnp.where(beta > 0, beta, 1.0)
         V = jnp.zeros((m + 1, n), dtype)
         V = V.at[0].set(r / safe_beta)
+        Z = jnp.zeros((m if flexible else 1, n), dtype)
         H = jnp.zeros((m + 1, m), dtype)
         cs = jnp.zeros(m, dtype)
         sn = jnp.zeros(m, dtype)
         g = jnp.zeros(m + 1, dtype).at[0].set(beta)
 
         def cond(state):
-            j, V, H, cs, sn, g, done = state
+            j, V, Z, H, cs, sn, g, done = state
             return jnp.logical_and(j < m, jnp.logical_not(done))
 
         def body(state):
-            j, V, H, cs, sn, g, done = state
-            w = matvec(precond(V[j]))
+            j, V, Z, H, cs, sn, g, done = state
+            z = precond(V[j])
+            if flexible:
+                Z = Z.at[j].set(z)
+            w = matvec(z)
             # CGS2 orthogonalization against all m+1 rows (rows > j are zero)
             h1 = jnp.matmul(V, w, precision=_HIGH)
             w = w - jnp.matmul(h1, V, precision=_HIGH)
@@ -105,10 +117,10 @@ def gmres(matvec: Callable, b: jax.Array, precond: Optional[Callable] = None,
             g = g.at[j].set(c_new * g_j).at[j + 1].set(-s_new * g_j)
             resid = jnp.abs(g[j + 1]) / safe_bnorm
             done = resid <= tol
-            return (j + 1, V, H, cs, sn, g, done)
+            return (j + 1, V, Z, H, cs, sn, g, done)
 
-        init = (0, V, H, cs, sn, g, beta / safe_bnorm <= tol)
-        j_fin, V, H, cs, sn, g, done = jax.lax.while_loop(cond, body, init)
+        init = (0, V, Z, H, cs, sn, g, beta / safe_bnorm <= tol)
+        j_fin, V, Z, H, cs, sn, g, done = jax.lax.while_loop(cond, body, init)
 
         # back substitution: solve H[:j, :j] y = g[:j]  (H upper triangular)
         # pad diagonal with 1 beyond j_fin so the solve is well defined
@@ -122,7 +134,10 @@ def gmres(matvec: Callable, b: jax.Array, precond: Optional[Callable] = None,
             return y.at[i].set(s / Hs[i, i])
 
         y = jax.lax.fori_loop(0, m, back_body, jnp.zeros(m, dtype))
-        dx = precond(jnp.matmul(y, V[:m], precision=_HIGH))
+        if flexible:
+            dx = jnp.matmul(y, Z, precision=_HIGH)
+        else:
+            dx = precond(jnp.matmul(y, V[:m], precision=_HIGH))
         x_new = x + dx
         resid = jnp.abs(g[jnp.minimum(j_fin, m)]) / safe_bnorm
         return x_new, total_iters + j_fin, resid, done

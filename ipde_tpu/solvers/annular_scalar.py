@@ -74,8 +74,29 @@ def _matvec(ops: AnnularOps, u_flat: jax.Array, M: int, n: int) -> jax.Array:
     return jnp.concatenate([top, rl, ru], axis=0).ravel()
 
 
-def _precond(ops: AnnularOps, r_flat: jax.Array, M: int, n: int) -> jax.Array:
+def use_f32_precond() -> bool:
+    """IPDE_PRECOND_F32=1 runs the GMRES preconditioner in f32 (native MXU
+    speed instead of emulated f64).  Mathematically safe: in RIGHT
+    preconditioning any fixed linear map M works and the tracked residual
+    ||b - A M y|| is the true residual of x = M y (gmres applies the same
+    M to form x, ops/gmres.py:125); only the iteration count can shift.
+    Default off pending TPU timing validation."""
+    import os
+    return os.environ.get("IPDE_PRECOND_F32", "") == "1"
+
+
+def _precond(ops: AnnularOps, r_flat: jax.Array, M: int, n: int,
+             f32pc: bool = False) -> jax.Array:
     r = r_flat.reshape(M, n)
+    if f32pc:
+        c = lambda a: a.astype(jnp.float32)
+        r32 = c(r)
+        cre = jnp.matmul(r32, c(ops.RC))
+        cim = jnp.matmul(r32, c(ops.RS))
+        ore = jnp.einsum('kij,jk->ik', c(ops.Kinv), cre)
+        oim = jnp.einsum('kij,jk->ik', c(ops.Kinv), cim)
+        out = jnp.matmul(ore, c(ops.IRC)) + jnp.matmul(oim, c(ops.IRI))
+        return out.astype(jnp.float64).ravel()
     cre = jnp.matmul(r, ops.RC, precision=_HIGH)   # (M, nk)
     cim = jnp.matmul(r, ops.RS, precision=_HIGH)
     ore = jnp.einsum('kij,jk->ik', ops.Kinv, cre, precision=_HIGH)
@@ -85,29 +106,30 @@ def _precond(ops: AnnularOps, r_flat: jax.Array, M: int, n: int) -> jax.Array:
     return out.ravel()
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 7))
 def _solve_jit(ops: AnnularOps, rhs_flat: jax.Array, M: int, n: int,
-               maxiter: int, restart: int, tol: jax.Array):
+               maxiter: int, restart: int, tol: jax.Array,
+               f32pc: bool = False):
     mv = lambda v: _matvec(ops, v, M, n)
-    pc = lambda v: _precond(ops, v, M, n)
+    pc = lambda v: _precond(ops, v, M, n, f32pc)
     res = gmres(mv, rhs_flat, precond=pc, tol=tol, maxiter=maxiter,
-                restart=restart)
+                restart=restart, flexible=f32pc)
     return res.x.reshape(M, n), res.iterations, res.residual
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 7))
 def _solve_jit_batched(ops_stacked: AnnularOps, rhs_stacked: jax.Array,
                        M: int, n: int, maxiter: int, restart: int,
-                       tol: jax.Array):
+                       tol: jax.Array, f32pc: bool = False):
     """vmapped GMRES over the BOUNDARY axis: one dispatch for B same-shape
     annular solves (SURVEY.md 2.3(b): the per-mode/boundary axes are
     embarrassingly batched).  ops leaves carry a leading B axis."""
 
     def one(ops, rhs):
         mv = lambda v: _matvec(ops, v, M, n)
-        pc = lambda v: _precond(ops, v, M, n)
+        pc = lambda v: _precond(ops, v, M, n, f32pc)
         res = gmres(mv, rhs, precond=pc, tol=tol, maxiter=maxiter,
-                    restart=restart)
+                    restart=restart, flexible=f32pc)
         return res.x.reshape(M, n), res.iterations, res.residual
 
     return jax.vmap(one)(ops_stacked, rhs_stacked)
@@ -125,7 +147,8 @@ def batched_annular_solve(solvers, metrics, rhss, tol, maxiter, restart):
     rhs_stacked = jnp.stack([r.ravel() for r in rhss])
     M, n = solvers[0].M, solvers[0].n
     u, iters, resid = _solve_jit_batched(ops_stacked, rhs_stacked, M, n,
-                                         maxiter, restart, jnp.asarray(tol))
+                                         maxiter, restart, jnp.asarray(tol),
+                                         use_f32_precond())
     us = [u[i] for i in range(len(solvers))]
     return us, {"iterations": iters, "residual": resid}
 
@@ -214,7 +237,8 @@ class AnnularScalarSolver:
         ops = self.make_ops(metric)
         rhs = self.build_rhs(f, g_lb, g_ub)
         u, iters, resid = _solve_jit(ops, rhs.ravel(), self.M, self.n,
-                                     maxiter, restart, jnp.asarray(tol))
+                                     maxiter, restart, jnp.asarray(tol),
+                                     use_f32_precond())
         if not isinstance(iters, jax.core.Tracer):
             self.iterations_last_call = int(iters)
             if verbose:

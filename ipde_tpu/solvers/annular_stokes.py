@@ -114,14 +114,27 @@ def _matvec(ops: StokesOps, v, M: int, n: int):
                             ft.ravel(), t_bcs.ravel(), fp.ravel()])
 
 
-def _precond(ops: StokesOps, v, M: int, n: int):
-    nk = n // 2 + 1
+def _precond(ops: StokesOps, v, M: int, n: int, f32pc: bool = False):
     NU = M * n
-    blocks = []
     fr = v[:NU].reshape(M, n)
     ft_ = v[NU:2 * NU].reshape(M, n)
     fp = v[2 * NU:].reshape(M - 1, n)
     stacked = jnp.concatenate([fr, ft_, fp], axis=0)   # (3M-1, n)
+    if f32pc:
+        # f32 preconditioner: valid for right preconditioning (see
+        # annular_scalar.use_f32_precond), native-MXU speed
+        c = lambda a: a.astype(jnp.float32)
+        s32 = c(stacked)
+        cre = jnp.matmul(s32, c(ops.RC))
+        cim = jnp.matmul(s32, c(ops.RS))
+        ore = (jnp.einsum("kij,jk->ik", c(ops.Kinv_re), cre)
+               - jnp.einsum("kij,jk->ik", c(ops.Kinv_im), cim))
+        oim = (jnp.einsum("kij,jk->ik", c(ops.Kinv_re), cim)
+               + jnp.einsum("kij,jk->ik", c(ops.Kinv_im), cre))
+        out = (jnp.matmul(ore, c(ops.IRC)) + jnp.matmul(oim, c(ops.IRI)))
+        out = out.astype(jnp.float64)
+        return jnp.concatenate([out[:M].ravel(), out[M:2 * M].ravel(),
+                                out[2 * M:].ravel()])
     cre = jnp.matmul(stacked, ops.RC, precision=_HIGH)  # (3M-1, nk)
     cim = jnp.matmul(stacked, ops.RS, precision=_HIGH)
     # out = Kinv @ c per mode (complex multiply)
@@ -135,31 +148,31 @@ def _precond(ops: StokesOps, v, M: int, n: int):
                             out[2 * M:].ravel()])
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 7))
 def _solve_jit(ops: StokesOps, rhs, M: int, n: int, maxiter: int,
-               restart: int, tol):
+               restart: int, tol, f32pc: bool = False):
     mv = lambda v: _matvec(ops, v, M, n)
-    pc = lambda v: _precond(ops, v, M, n)
+    pc = lambda v: _precond(ops, v, M, n, f32pc)
     res = gmres(mv, rhs, precond=pc, tol=tol, maxiter=maxiter,
-                restart=restart)
+                restart=restart, flexible=f32pc)
     NU = M * n
     x = res.x
     return (x[:NU].reshape(M, n), x[NU:2 * NU].reshape(M, n),
             x[2 * NU:].reshape(M - 1, n), res.iterations, res.residual)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 7))
 def _solve_jit_batched(ops_stacked: StokesOps, rhs_stacked, M: int, n: int,
-                       maxiter: int, restart: int, tol):
+                       maxiter: int, restart: int, tol, f32pc: bool = False):
     """vmapped Stokes GMRES over the BOUNDARY axis (SURVEY.md 2.3(b)): one
     dispatch for B same-shape annular Stokes solves; ops leaves carry a
     leading B axis."""
 
     def one(ops, rhs):
         mv = lambda v: _matvec(ops, v, M, n)
-        pc = lambda v: _precond(ops, v, M, n)
+        pc = lambda v: _precond(ops, v, M, n, f32pc)
         res = gmres(mv, rhs, precond=pc, tol=tol, maxiter=maxiter,
-                    restart=restart)
+                    restart=restart, flexible=f32pc)
         NU = M * n
         x = res.x
         return (x[:NU].reshape(M, n), x[NU:2 * NU].reshape(M, n),
@@ -177,8 +190,10 @@ def batched_stokes_solve(solvers, metrics, rhss, tol, maxiter, restart):
     ops_stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ops_list)
     rhs_stacked = jnp.stack(rhss)
     M, n = solvers[0].M, solvers[0].n
+    from ipde_tpu.solvers.annular_scalar import use_f32_precond
     ur, ut, p, iters, resid = _solve_jit_batched(
-        ops_stacked, rhs_stacked, M, n, maxiter, restart, jnp.asarray(tol))
+        ops_stacked, rhs_stacked, M, n, maxiter, restart, jnp.asarray(tol),
+        use_f32_precond())
     outs = [(ur[i], ut[i],
              jnp.matmul(s.P10, p[i], precision=_HIGH))
             for i, s in enumerate(solvers)]
@@ -307,9 +322,11 @@ class AnnularStokesSolver:
                          restart: int = 50, verbose: bool = False):
         ops = self.make_ops(metric)
         rhs = self.build_rhs(fr, ft, lbc_r, lbc_t, ubc_r, ubc_t)
+        from ipde_tpu.solvers.annular_scalar import use_f32_precond
         ur, ut, p, iters, resid = _solve_jit(ops, rhs, self.M, self.n,
                                              maxiter, restart,
-                                             jnp.asarray(tol))
+                                             jnp.asarray(tol),
+                                             use_f32_precond())
         if not isinstance(iters, jax.core.Tracer):
             self.iterations_last_call = int(iters)
             if verbose:

@@ -1,0 +1,68 @@
+"""f32 GMRES preconditioner (IPDE_PRECOND_F32=1): same converged accuracy
+as the f64 preconditioner, iteration count within a small margin.  Right
+preconditioning makes any fixed linear M valid -- these tests pin that the
+f32 cast neither degrades the final error nor blows up the iteration
+count (annular scalar + Stokes)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ipde_tpu.geometry.annular import AnnularGeometry, AnnularMetric
+from ipde_tpu.geometry.curve import star
+from ipde_tpu.solvers.annular_scalar import AnnularModifiedHelmholtzSolver
+from ipde_tpu.solvers.annular_stokes import AnnularStokesSolver
+
+
+def _geometry(nb=128, M=12):
+    bdy = star(nb, a=0.15, f=3)
+    geom = AnnularGeometry(nb, M, -0.25, 0.0, 1.0)
+    metric = AnnularMetric(bdy.speed, bdy.curvature, geom)
+    return bdy, geom, metric
+
+
+def test_scalar_f32_precond_matches(monkeypatch):
+    bdy, geom, metric = _geometry()
+    solver = AnnularModifiedHelmholtzSolver(geom, k=2.0)
+    rng = np.random.default_rng(0)
+    f = rng.standard_normal((geom.M, geom.n))
+    g1 = rng.standard_normal(geom.n)
+    g2 = rng.standard_normal(geom.n)
+
+    monkeypatch.delenv("IPDE_PRECOND_F32", raising=False)
+    u64, st64 = solver.solve_with_stats(metric, f, g1, g2, tol=1e-12)
+    monkeypatch.setenv("IPDE_PRECOND_F32", "1")
+    solver32 = AnnularModifiedHelmholtzSolver(geom, k=2.0)  # fresh jit trace
+    u32, st32 = solver32.solve_with_stats(metric, f, g1, g2, tol=1e-12)
+
+    # both converged to the same solution (residual-tol-limited agreement)
+    du = np.abs(np.asarray(u64) - np.asarray(u32)).max()
+    scale = np.abs(np.asarray(u64)).max()
+    assert du / scale < 1e-9, du / scale
+    assert int(st32["iterations"]) <= int(st64["iterations"]) + 5, (
+        int(st32["iterations"]), int(st64["iterations"]))
+
+
+def test_stokes_f32_precond_matches(monkeypatch):
+    bdy, geom, metric = _geometry(nb=96, M=10)
+    rng = np.random.default_rng(1)
+    fr = rng.standard_normal((geom.M, geom.n))
+    ft = rng.standard_normal((geom.M, geom.n))
+    zb = np.zeros(geom.n)
+
+    monkeypatch.delenv("IPDE_PRECOND_F32", raising=False)
+    s64 = AnnularStokesSolver(geom)
+    (ur0, ut0, p0), st64 = s64.solve_with_stats(
+        metric, fr, ft, zb, zb, zb, zb, tol=1e-11)
+    monkeypatch.setenv("IPDE_PRECOND_F32", "1")
+    s32 = AnnularStokesSolver(geom)
+    (ur1, ut1, p1), st32 = s32.solve_with_stats(
+        metric, fr, ft, zb, zb, zb, zb, tol=1e-11)
+
+    scale = np.abs(np.asarray(ur0)).max() + np.abs(np.asarray(ut0)).max()
+    du = max(np.abs(np.asarray(ur0) - np.asarray(ur1)).max(),
+             np.abs(np.asarray(ut0) - np.asarray(ut1)).max())
+    assert du / scale < 1e-8, du / scale
+    assert int(st32["iterations"]) <= int(st64["iterations"]) + 8, (
+        int(st32["iterations"]), int(st64["iterations"]))
