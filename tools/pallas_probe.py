@@ -56,48 +56,45 @@ def main():
             _ = sync(fn(*args))
         return (time.time() - t0) / reps * 1e3
 
+    def flat_err(a, b):
+        la = jax.tree_util.tree_leaves(a)
+        lb = jax.tree_util.tree_leaves(b)
+        return max(np.abs(np.asarray(x) - np.asarray(y)).max()
+                   for x, y in zip(la, lb))
+
+    cases = [
+        ("laplace", K.laplace_slp_apply, pds.laplace_slp_apply, ()),
+        ("grad", K.laplace_slp_grad_apply, pds.laplace_slp_grad_apply, ()),
+        ("mh", K.mh_slp_apply, pds.mh_slp_apply, (20.0,)),
+    ]
     sizes = ([(4096, 1024)] if os.environ.get("SIZES") == "small"
              else [(4096, 1024), (200_000, 5400), (1_000_000, 8100)])
     for T, S in sizes:
         sx, sy, q, tx, ty = cloud(T, S)
-        # --- laplace ---
-        a = np.asarray(K.laplace_slp_apply(sx, sy, q, tx, ty))
-        b = np.asarray(pds.laplace_slp_apply(sx, sy, q, tx, ty))
-        print(f"T={T} S={S} laplace agree={np.abs(a - b).max():.2e}",
-              flush=True)
-        t_x = timeit(K.laplace_slp_apply, sx, sy, q, tx, ty)
-        t_p = timeit(pds.laplace_slp_apply, sx, sy, q, tx, ty)
-        print(f"  laplace xla {t_x:8.1f} ms   pallas {t_p:8.1f} ms  "
-              f"({t_x / t_p:.2f}x)", flush=True)
-        # --- grad ---
-        gx0, gy0 = K.laplace_slp_grad_apply(sx, sy, q, tx, ty)
-        gx1, gy1 = pds.laplace_slp_grad_apply(sx, sy, q, tx, ty)
-        ag = max(np.abs(np.asarray(gx0) - np.asarray(gx1)).max(),
-                 np.abs(np.asarray(gy0) - np.asarray(gy1)).max())
-        print(f"  grad agree={ag:.2e}", flush=True)
-        t_x = timeit(K.laplace_slp_grad_apply, sx, sy, q, tx, ty)
-        t_p = timeit(pds.laplace_slp_grad_apply, sx, sy, q, tx, ty)
-        print(f"  grad    xla {t_x:8.1f} ms   pallas {t_p:8.1f} ms  "
-              f"({t_x / t_p:.2f}x)", flush=True)
-        # --- mh (Yukawa K0), k=20 exercises all branches ---
-        m0 = np.asarray(K.mh_slp_apply(sx, sy, q, tx, ty, 20.0))
-        m1 = np.asarray(pds.mh_slp_apply(sx, sy, q, tx, ty, 20.0))
-        print(f"  mh agree={np.abs(m0 - m1).max():.2e}", flush=True)
-        t_x = timeit(K.mh_slp_apply, sx, sy, q, tx, ty, 20.0)
-        t_p = timeit(pds.mh_slp_apply, sx, sy, q, tx, ty, 20.0)
-        print(f"  mh      xla {t_x:8.1f} ms   pallas {t_p:8.1f} ms  "
-              f"({t_x / t_p:.2f}x)", flush=True)
-        # --- stokes ---
-        u0, v0, p0 = SK.stokes_slp_apply(sx, sy, q, q[::-1], tx, ty)
-        u1, v1, p1 = pds.stokes_slp_apply(sx, sy, q, q[::-1], tx, ty)
-        ast = max(np.abs(np.asarray(u0) - np.asarray(u1)).max(),
-                  np.abs(np.asarray(v0) - np.asarray(v1)).max(),
-                  np.abs(np.asarray(p0) - np.asarray(p1)).max())
-        print(f"  stokes agree={ast:.2e}", flush=True)
-        t_x = timeit(SK.stokes_slp_apply, sx, sy, q, q[::-1], tx, ty)
-        t_p = timeit(pds.stokes_slp_apply, sx, sy, q, q[::-1], tx, ty)
-        print(f"  stokes  xla {t_x:8.1f} ms   pallas {t_p:8.1f} ms  "
-              f"({t_x / t_p:.2f}x)", flush=True)
+        print(f"T={T} S={S}", flush=True)
+        for name, fx, fp, extra in cases:
+            try:
+                a = fx(sx, sy, q, tx, ty, *extra)
+                b = fp(sx, sy, q, tx, ty, *extra)
+                print(f"  {name:8s} agree={flat_err(a, b):.2e}", flush=True)
+                t_x = timeit(fx, sx, sy, q, tx, ty, *extra)
+                t_p = timeit(fp, sx, sy, q, tx, ty, *extra)
+                print(f"  {name:8s} xla {t_x:8.1f} ms   pallas {t_p:8.1f} ms"
+                      f"  ({t_x / t_p:.2f}x)", flush=True)
+            except Exception as e:
+                print(f"  {name} FAILED: {type(e).__name__}: "
+                      f"{str(e)[:300]}", flush=True)
+        try:
+            a = SK.stokes_slp_apply(sx, sy, q, q[::-1], tx, ty)
+            b = pds.stokes_slp_apply(sx, sy, q, q[::-1], tx, ty)
+            print(f"  stokes   agree={flat_err(a, b):.2e}", flush=True)
+            t_x = timeit(SK.stokes_slp_apply, sx, sy, q, q[::-1], tx, ty)
+            t_p = timeit(pds.stokes_slp_apply, sx, sy, q, q[::-1], tx, ty)
+            print(f"  stokes   xla {t_x:8.1f} ms   pallas {t_p:8.1f} ms"
+                  f"  ({t_x / t_p:.2f}x)", flush=True)
+        except Exception as e:
+            print(f"  stokes FAILED: {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -21,6 +21,10 @@ IPDE_AOT_CACHE=/tmp/aotc BENCH_NB=2700 BENCH_M=20 timeout 5400 python bench.py
 IPDE_AOT_CACHE=/tmp/aotc BENCH_NB=2700 BENCH_M=20 timeout 3600 python bench.py
 # 3c. pallas-kernel bench (compare solve_ms against 3)
 IPDE_PALLAS=1 BENCH_NB=2700 BENCH_M=20 timeout 5400 python bench.py
+# 3d. f32 FGMRES preconditioner (annular phase timing)
+IPDE_PRECOND_F32=1 BENCH_NB=2700 BENCH_M=20 timeout 5400 python bench.py
+# 3e. both
+IPDE_PALLAS=1 IPDE_PRECOND_F32=1 BENCH_NB=2700 BENCH_M=20 timeout 5400 python bench.py
 
 # 4. per-phase profile incl. the interp fine-FFT vs gather breakdown
 BENCH_NB=2700 BENCH_M=14 timeout 5400 python tools/profile_solve.py
