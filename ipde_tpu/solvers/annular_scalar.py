@@ -76,11 +76,16 @@ def _matvec(ops: AnnularOps, u_flat: jax.Array, M: int, n: int) -> jax.Array:
 
 def use_f32_precond() -> bool:
     """IPDE_PRECOND_F32=1 runs the GMRES preconditioner in f32 (native MXU
-    speed instead of emulated f64).  Mathematically safe: in RIGHT
-    preconditioning any fixed linear map M works and the tracked residual
-    ||b - A M y|| is the true residual of x = M y (gmres applies the same
-    M to form x, ops/gmres.py:125); only the iteration count can shift.
-    Default off pending TPU timing validation."""
+    speed instead of emulated f64), via FGMRES (an f32 M is not exactly
+    linear, so the preconditioned basis must be stored -- ops/gmres.py
+    flexible=True).  Accuracy of the CONVERGED solution is unaffected.
+
+    Iteration-count caveat: f32 perturbs the preconditioned spectrum by
+    ~2^-24 * kappa(A_m) per Fourier mode, so for ILL-conditioned blocks
+    the clustering at 1 degrades and iterations grow (measured: annular
+    POISSON k=0 at nb=300 takes 64 vs 25 iterations; the k>0 modified
+    Helmholtz cases are unaffected).  Use for well-conditioned solves
+    (k >= O(1)); default off."""
     import os
     return os.environ.get("IPDE_PRECOND_F32", "") == "1"
 
