@@ -49,7 +49,11 @@ def run_case(nb, M, tol=1e-12):
     bh = min(outer.min_h(), 0.6 / np.abs(outer.curvature).max() / M,
              0.16 / M)
     Mi = max(M // 2 + 2, 6)     # inclusion strips: disjoint annuli
-    nbi = max(nb // 2, 64)
+    # inclusion resolution: default half the outer boundary's (strictly
+    # fewer dof than the reference's equal-nb bodies); STOKES_NBI_FACTOR=1
+    # matches the reference's resolution
+    fac = float(os.environ.get("STOKES_NBI_FACTOR", "0.5"))
+    nbi = max(int(nb * fac), 64)
     e0 = EmbeddedBoundary(outer, True, M, bh)
     e1 = EmbeddedBoundary(star(nbi, x=0.3, y=0.18, r=0.16, a=0.05, f=4),
                           False, Mi, bh)
