@@ -66,3 +66,26 @@ def test_stokes_f32_precond_matches(monkeypatch):
     assert du / scale < 1e-8, du / scale
     assert int(st32["iterations"]) <= int(st64["iterations"]) + 8, (
         int(st32["iterations"]), int(st64["iterations"]))
+
+
+def test_flexible_gmres_matches_plain():
+    """flexible=True with an exactly-linear preconditioner reproduces the
+    plain right-GMRES solution (new code path regression)."""
+    from ipde_tpu.ops.gmres import gmres
+    rng = np.random.default_rng(2)
+    n = 80
+    A = np.eye(n) * 4.0 + 0.1 * rng.standard_normal((n, n))
+    Md = np.diag(1.0 / np.diag(A))
+    b = rng.standard_normal(n)
+    Aj = jnp.asarray(A)
+    Mj = jnp.asarray(Md)
+    mv = lambda v: Aj @ v
+    pc = lambda v: Mj @ v
+    r0 = gmres(mv, jnp.asarray(b), precond=pc, tol=1e-13, maxiter=200,
+               restart=25)
+    r1 = gmres(mv, jnp.asarray(b), precond=pc, tol=1e-13, maxiter=200,
+               restart=25, flexible=True)
+    x = np.linalg.solve(A, b)
+    assert np.abs(np.asarray(r0.x) - x).max() < 1e-11
+    assert np.abs(np.asarray(r1.x) - x).max() < 1e-11
+    assert abs(int(r0.iterations) - int(r1.iterations)) <= 1
