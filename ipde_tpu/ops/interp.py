@@ -179,6 +179,97 @@ class PeriodicInterpolator2D:
         return out if batched else out[0]
 
 
+def _axis_ifft(n: int):
+    """Axis-0 inverse-DFT plan: four-step for large factorable n."""
+    from ipde_tpu.ops.fourier import (DirectDFT1D, FourStepFFT1D,
+                                      FourierPlan2D, _best_factor)
+    if n >= FourierPlan2D.FOURSTEP_MIN and _best_factor(n)[0] > 1:
+        return FourStepFFT1D(n)
+    return DirectDFT1D(n)
+
+
+class HybridInterp2D:
+    """Exact (factorized trig matmul) evaluation along the FIRST axis,
+    windowed ES-kernel NUFFT along the LAST axis.
+
+    Built for the radial (Chebyshev-reflection) -> grid transfer where the
+    first axis holds only 2M <= ~48 Fourier modes while targets number in
+    the hundreds of thousands: the full window NUFFT's flat gather touches
+    w*w = 256 SCATTERED f64 elements per target (each pulling a whole TPU
+    tile from HBM), whereas here a target costs w CONTIGUOUS row slices of
+    the (nfy, nx) fine-in-y array plus an (nx,)-long real dot -- O(T*w*nx)
+    sequential reads and flops, both tiny for nx ~ 40.
+
+    Shares the plan interface of PeriodicInterpolator2D (reference finufft
+    call sites: ipde/embedded_boundary.py:419-434, ebdy_collection.py:604).
+    """
+
+    def __init__(self, nx: int, ny: int, tx, ty, sigma: int = 2, w: int = 16,
+                 x_offset: float = 0.0, y_offset: float = 0.0,
+                 native_fft=None):
+        txa = np.asarray(tx, np.float64).ravel() - x_offset
+        tya = np.mod(np.asarray(ty, np.float64).ravel() - y_offset,
+                     2 * np.pi)
+        self.nx, self.ny = nx, ny
+        nfy = sigma * ny
+        hy = 2 * np.pi / nfy
+        beta = 2.30 * w
+        half_w = w / 2.0
+        jy = np.floor(tya / hy).astype(np.int64)
+        oy = jy - (w // 2 - 1)
+        py = oy[:, None] + np.arange(w)[None, :]
+        zy = (tya[:, None] / hy - py) / half_w
+        self.wy = jnp.asarray(_es_kernel(zy, beta))
+        self.row_idx = jnp.asarray(np.mod(py, nfy), jnp.int32)   # (T, w)
+        ky = np.abs(np.fft.fftfreq(ny, 1.0 / ny)).astype(int)
+        phy = _es_kernel_ft_table(w, beta, half_w * hy, int(ky.max()) + 1)
+        self.deconv_y = jnp.asarray(hy / phy[ky])                # (ny,)
+        kxn = np.fft.fftfreq(nx, 1.0 / nx)
+        # exact first-axis phases, built on host (TPU f64 trig is inaccurate)
+        self.Er = jnp.asarray(np.cos(np.outer(txa, kxn)))        # (T, nx)
+        self.Ei = jnp.asarray(np.sin(np.outer(txa, kxn)))
+        self.nfy = nfy
+        self.T = txa.size
+        self.w = w
+        self.base_plan = FourierPlan2D(nx, ny, native=native_fft)
+        self.fine_y = _axis_ifft(nfy)
+
+    def _one_from_modes(self, c: Cx):
+        scale = self.nfy / (self.nx * self.ny)
+        d = self.deconv_y * scale
+        dre = (c.re * d[None, :]).T            # (ny, nx)
+        dim_ = (c.im * d[None, :]).T
+        hy = self.ny // 2
+        ry = self.ny - hy
+        zre = jnp.zeros((self.nfy, self.nx), dre.dtype)
+        pre = zre.at[:hy].set(dre[:hy]).at[self.nfy - ry:].set(dre[hy:])
+        pim = zre.at[:hy].set(dim_[:hy]).at[self.nfy - ry:].set(dim_[hy:])
+        F = self.fine_y.ifft(Cx(pre, pim))     # (nfy, nx) fine in y
+        acc = jnp.zeros((self.T,), F.re.dtype)
+        # stencil-axis loop with (T, nx) intermediates: [T, w, nx] stacks
+        # would tile to (8,128) minor blocks and blow up HBM traffic
+        for q in range(self.w):
+            idx = self.row_idx[:, q]
+            pr = jnp.take(F.re, idx, axis=0)
+            pi = jnp.take(F.im, idx, axis=0)
+            val = jnp.sum(pr * self.Er - pi * self.Ei, axis=1)
+            acc = acc + self.wy[:, q] * val
+        return acc
+
+    def from_modes(self, c: Cx):
+        batched = c.re.ndim == 3
+        if not batched:
+            return self._one_from_modes(c)
+        return jax.vmap(self._one_from_modes)(c)
+
+    def __call__(self, f):
+        batched = f.ndim == 3
+        fs = f if batched else f[None]
+        cs = jax.vmap(self.base_plan.fft2)(fs)
+        out = jax.vmap(self._one_from_modes)(cs)
+        return out if batched else out[0]
+
+
 def nufft2d2_exact(c: Cx, tx, ty):
     """Direct (exact) evaluation sum_k C_k e^{i k.x} / (nx ny) at targets.
 
@@ -326,5 +417,10 @@ def make_interpolator(nx: int, ny: int, tx, ty, x_offset: float = 0.0,
     if (nx * ny <= exact_max_modes
             or (T <= exact_max_targets and exact_flops < nufft_flops)):
         return ExactInterp2D(nx, ny, tx, ty, x_offset, y_offset)
+    if nx <= 64:
+        # radial (2M-row) mode grids: exact-in-x + row-gather NUFFT-in-y
+        # beats the (T, w*w) scattered-element gather on TPU
+        return HybridInterp2D(nx, ny, tx, ty, x_offset=x_offset,
+                              y_offset=y_offset)
     return PeriodicInterpolator2D(nx, ny, tx, ty, x_offset=x_offset,
                                   y_offset=y_offset)

@@ -1,0 +1,67 @@
+"""Unit tests for the fixed-target spectral interpolators (the framework's
+finufft type-2 replacement; reference call sites ipde/embedded_boundary.py:419-434,
+ipde/ebdy_collection.py:604-647).  Every class must agree with the direct
+trigonometric sum to near roundoff."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ipde_tpu.ops.cx import Cx
+from ipde_tpu.ops.interp import (ExactInterp2D, HybridInterp2D,
+                                 PeriodicInterpolator2D, make_interpolator,
+                                 nufft2d2_exact)
+
+
+def _smooth_field(rng, nx, ny):
+    f = rng.standard_normal((nx, ny))
+    kx = np.fft.fftfreq(nx, 1 / nx)
+    ky = np.fft.fftfreq(ny, 1 / ny)
+    fh = np.fft.fft2(f) * np.exp(
+        -0.05 * (np.abs(kx)[:, None] ** 2 + np.abs(ky)[None, :] ** 2))
+    return np.real(np.fft.ifft2(fh))
+
+
+@pytest.mark.parametrize("cls,nx,ny,xo", [
+    (PeriodicInterpolator2D, 40, 300, 0.0),
+    (PeriodicInterpolator2D, 40, 300, np.pi / 40),
+    (HybridInterp2D, 40, 300, np.pi / 40),
+    (HybridInterp2D, 48, 257, 0.0),       # odd ny, direct-DFT fine axis
+    (ExactInterp2D, 40, 300, np.pi / 40),
+])
+def test_interp_matches_exact(cls, nx, ny, xo):
+    rng = np.random.default_rng(3)
+    f = _smooth_field(rng, nx, ny)
+    T = 1500
+    tx = rng.uniform(0, 2 * np.pi, T)
+    ty = rng.uniform(0, 2 * np.pi, T)
+    c = Cx(jnp.asarray(np.real(np.fft.fft2(f))),
+           jnp.asarray(np.imag(np.fft.fft2(f))))
+    exact = nufft2d2_exact(c, tx - xo, ty)
+    interp = cls(nx, ny, tx, ty, x_offset=xo)
+    scale = float(jnp.max(jnp.abs(exact)))
+    err = float(jnp.max(jnp.abs(interp.from_modes(c) - exact))) / scale
+    assert err < 5e-13
+    # grid-values entry point
+    err2 = float(jnp.max(jnp.abs(interp(jnp.asarray(f)) - exact))) / scale
+    assert err2 < 5e-13
+    # batched modes
+    cb = Cx(jnp.stack([c.re, 2 * c.re]), jnp.stack([c.im, 2 * c.im]))
+    vb = interp.from_modes(cb)
+    assert float(jnp.max(jnp.abs(vb[1] - 2 * exact))) / scale < 1e-12
+
+
+def test_make_interpolator_picks_hybrid_for_radial_shapes():
+    rng = np.random.default_rng(5)
+    nx, ny = 40, 2048       # 2M x nb beyond the exact-path mode budget
+    tx = rng.uniform(0, 2 * np.pi, 9000)
+    ty = rng.uniform(0, 2 * np.pi, 9000)
+    interp = make_interpolator(nx, ny, tx, ty, x_offset=np.pi / nx)
+    assert isinstance(interp, HybridInterp2D)
+    f = _smooth_field(rng, nx, ny)
+    c = Cx(jnp.asarray(np.real(np.fft.fft2(f))),
+           jnp.asarray(np.imag(np.fft.fft2(f))))
+    exact = nufft2d2_exact(c, tx - np.pi / nx, ty)
+    err = float(jnp.max(jnp.abs(interp.from_modes(c) - exact)))
+    assert err / float(jnp.max(jnp.abs(exact))) < 5e-13
