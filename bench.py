@@ -51,10 +51,16 @@ def main(pde_override=None):
     t0 = time.time()
     bdy = star(nb, a=0.2, f=5)
     bh = min(bdy.min_h(), 0.6 / np.abs(bdy.curvature).max() / M)
-    # BENCH_BH forces a finer grid than the boundary requires (the true
-    # 2048^2-class north-star config independent of nb; BASELINE.md:27)
+    # BENCH_BH forces a finer grid than the boundary requires; otherwise
+    # BENCH_GRID (default 2048: the BASELINE.md:27 north-star) sizes h so
+    # the auto-generated box lands on a BENCH_GRID^2-class grid
     if os.environ.get("BENCH_BH"):
         bh = min(bh, float(os.environ["BENCH_BH"]))
+    else:
+        tg = int(os.environ.get("BENCH_GRID", 2048))
+        if tg:
+            extent = float(bdy.x.max() - bdy.x.min())
+            bh = min(bh, extent / (tg - 3 * M))
     ebdy = EmbeddedBoundary(bdy, True, M, bh, qfs_tolerance=1e-14)
     ebdyc = EmbeddedBoundaryCollection([ebdy])
     grid = ebdyc.generate_grid(bh)
@@ -167,7 +173,33 @@ def main(pde_override=None):
     }))
 
 
+def _device_alive(timeout_s: int = 900) -> bool:
+    """Bounded liveness probe in a SUBPROCESS: a wedged axon tunnel hangs
+    any in-process device op indefinitely (no Python-level timeout can
+    interrupt XLA), which would hang the whole bench run.  Skipped when a
+    platform is pinned (CPU smoke tests)."""
+    if os.environ.get("BENCH_PLATFORM") or os.environ.get("BENCH_NO_PROBE"):
+        return True
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float(jnp.sum(jnp.arange(8.0))))"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return "28.0" in r.stdout
+    except Exception:
+        return False
+
+
 if __name__ == "__main__":
+    if not _device_alive():
+        print("# device liveness probe failed (wedged tunnel?); no timing "
+              "possible", file=sys.stderr)
+        print(json.dumps({"metric": "interior_stokes_solve_ms", "value": None,
+                          "unit": "ms", "vs_baseline": None,
+                          "error": "tpu tunnel unavailable"}))
+        sys.exit(0)
     try:
         main()
     except Exception as e:          # pragma: no cover - driver resilience

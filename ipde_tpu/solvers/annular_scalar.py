@@ -32,7 +32,8 @@ import numpy as np
 
 from ipde_tpu.geometry.annular import AnnularGeometry, AnnularMetric
 from ipde_tpu.ops.cx import Cx
-from ipde_tpu.ops.fourier import FourierPlan1D
+from ipde_tpu.ops.fourier import (TanPlan, make_tan_plan, tan_cast,
+                                  tan_deriv, tan_irfft, tan_rfft)
 from ipde_tpu.ops.gmres import gmres
 
 _HIGH = jax.lax.Precision.HIGHEST
@@ -47,11 +48,8 @@ class AnnularOps(NamedTuple):
     R02: jax.Array
     row_lb: jax.Array      # (1, M) combined Robin row at r=lb
     row_ub: jax.Array      # (1, M) combined Robin row at r=ub
-    Dt: jax.Array          # (n, n) tangential spectral differentiation (right-mul)
-    RC: jax.Array          # rfft matrices (right-multiply forms)
-    RS: jax.Array
-    IRC: jax.Array
-    IRI: jax.Array
+    tan: TanPlan           # last-axis rfft/derivative plan (four-step for
+                           # large n: O(n sqrt n) instead of the n^2 matmul)
     Kinv: jax.Array        # (nk, M, M) per-mode preconditioner inverses
     psi1: jax.Array        # (M-1, n) metric
     inv_psi1: jax.Array
@@ -63,10 +61,9 @@ def _matvec(ops: AnnularOps, u_flat: jax.Array, M: int, n: int) -> jax.Array:
     u = u_flat.reshape(M, n)
     du = jnp.matmul(ops.D01, u, precision=_HIGH)
     term1 = jnp.matmul(ops.D12, ops.psi1 * du, precision=_HIGH)
-    ut = jnp.matmul(u, ops.Dt, precision=_HIGH)
+    ut = tan_deriv(u, ops.tan)
     w = jnp.matmul(ops.R01, ut, precision=_HIGH) * ops.inv_psi1
-    term2 = jnp.matmul(ops.R12, jnp.matmul(w, ops.Dt, precision=_HIGH),
-                       precision=_HIGH)
+    term2 = jnp.matmul(ops.R12, tan_deriv(w, ops.tan), precision=_HIGH)
     lu = (term1 + term2) * ops.inv_psi2
     top = ops.helm_k2 * jnp.matmul(ops.R02, u, precision=_HIGH) - lu
     rl = jnp.matmul(ops.row_lb, u, precision=_HIGH)
@@ -94,21 +91,16 @@ def _precond(ops: AnnularOps, r_flat: jax.Array, M: int, n: int,
              f32pc: bool = False) -> jax.Array:
     r = r_flat.reshape(M, n)
     if f32pc:
-        c = lambda a: a.astype(jnp.float32)
-        r32 = c(r)
-        cre = jnp.matmul(r32, c(ops.RC))
-        cim = jnp.matmul(r32, c(ops.RS))
-        ore = jnp.einsum('kij,jk->ik', c(ops.Kinv), cre)
-        oim = jnp.einsum('kij,jk->ik', c(ops.Kinv), cim)
-        out = jnp.matmul(ore, c(ops.IRC)) + jnp.matmul(oim, c(ops.IRI))
+        tp32 = tan_cast(ops.tan, jnp.float32)
+        c = tan_rfft(r.astype(jnp.float32), tp32)
+        ore = jnp.einsum('kij,jk->ik', ops.Kinv.astype(jnp.float32), c.re)
+        oim = jnp.einsum('kij,jk->ik', ops.Kinv.astype(jnp.float32), c.im)
+        out = tan_irfft(Cx(ore, oim), tp32)
         return out.astype(jnp.float64).ravel()
-    cre = jnp.matmul(r, ops.RC, precision=_HIGH)   # (M, nk)
-    cim = jnp.matmul(r, ops.RS, precision=_HIGH)
-    ore = jnp.einsum('kij,jk->ik', ops.Kinv, cre, precision=_HIGH)
-    oim = jnp.einsum('kij,jk->ik', ops.Kinv, cim, precision=_HIGH)
-    out = (jnp.matmul(ore, ops.IRC, precision=_HIGH)
-           + jnp.matmul(oim, ops.IRI, precision=_HIGH))
-    return out.ravel()
+    c = tan_rfft(r, ops.tan)                       # (M, nk)
+    ore = jnp.einsum('kij,jk->ik', ops.Kinv, c.re, precision=_HIGH)
+    oim = jnp.einsum('kij,jk->ik', ops.Kinv, c.im, precision=_HIGH)
+    return tan_irfft(Cx(ore, oim), ops.tan).ravel()
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 7))
@@ -191,14 +183,11 @@ class AnnularScalarSolver:
             K[M - 2] = row_lb[0]
             K[M - 1] = row_ub[0]
             Kinv[m] = np.linalg.inv(K)
-        plan = FourierPlan1D(n)
-        self.plan = plan
         f64 = jnp.asarray
         self.ops_static = dict(
             D01=f64(D01), D12=f64(D12), R01=f64(R01), R12=f64(R12),
             R02=f64(R02), row_lb=f64(row_lb), row_ub=f64(row_ub),
-            Dt=plan.D1, RC=plan.RC, RS=plan.RS, IRC=plan.IRC, IRI=plan.IRI,
-            Kinv=f64(Kinv), helm_k2=jnp.asarray(k2),
+            tan=make_tan_plan(n), Kinv=f64(Kinv), helm_k2=jnp.asarray(k2),
         )
         self.R02_np = R02
         self.iterations_last_call = 0

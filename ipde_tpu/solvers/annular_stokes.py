@@ -34,7 +34,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ipde_tpu.geometry.annular import AnnularGeometry, AnnularMetric
-from ipde_tpu.ops.fourier import FourierPlan1D
+from ipde_tpu.ops.cx import Cx
+from ipde_tpu.ops.fourier import (TanPlan, make_tan_plan, tan_cast,
+                                  tan_deriv, tan_irfft, tan_rfft)
 from ipde_tpu.ops.gmres import gmres
 
 _HIGH = jax.lax.Precision.HIGHEST
@@ -49,11 +51,7 @@ class StokesOps(NamedTuple):
     row_lb: jax.Array
     row_ub: jax.Array
     VI1_row0: jax.Array     # (1, M-1): extracts the 0th Chebyshev coeff
-    Dt: jax.Array
-    RC: jax.Array
-    RS: jax.Array
-    IRC: jax.Array
-    IRI: jax.Array
+    tan: TanPlan            # last-axis rfft/derivative plan
     Kinv_re: jax.Array      # (nk, 3M-1, 3M-1)
     Kinv_im: jax.Array
     psi0: jax.Array         # (M, n)
@@ -72,14 +70,13 @@ def _matvec(ops: StokesOps, v, M: int, n: int):
     ut = v[NU:2 * NU].reshape(M, n)
     p = v[2 * NU:].reshape(M - 1, n)
     mm = lambda a, b: jnp.matmul(a, b, precision=_HIGH)
-    Dt = ops.Dt
-    dur = jnp.matmul(ur, Dt, precision=_HIGH)
-    dut = jnp.matmul(ut, Dt, precision=_HIGH)
+    dur = tan_deriv(ur, ops.tan)
+    dut = tan_deriv(ut, ops.tan)
 
     def scalar_lap(u, du):
         t1 = mm(ops.D12, ops.psi1 * mm(ops.D01, u))
         w = mm(ops.R01, du) * ops.inv_psi1
-        t2 = mm(ops.R12, jnp.matmul(w, Dt, precision=_HIGH))
+        t2 = mm(ops.R12, tan_deriv(w, ops.tan))
         return (t1 + t2) * ops.inv_psi2
 
     lap_ur = scalar_lap(ur, dur)
@@ -93,7 +90,7 @@ def _matvec(ops: StokesOps, v, M: int, n: int):
     # ut equation
     ft = (ops.mu * (-lap_ut - mm(ops.R02, dur) * ops.combo1
                     + W1t * ops.combo2 - W1r * ops.cross)
-          + mm(ops.R12, jnp.matmul(p, Dt, precision=_HIGH)) * ops.inv_psi2)
+          + mm(ops.R12, tan_deriv(p, ops.tan)) * ops.inv_psi2)
     # divergence equation
     fp = (mm(ops.D01, ur * ops.psi0)
           + mm(ops.R01, dut)) * ops.inv_psi1
@@ -123,27 +120,24 @@ def _precond(ops: StokesOps, v, M: int, n: int, f32pc: bool = False):
     if f32pc:
         # f32 preconditioner: valid for right preconditioning (see
         # annular_scalar.use_f32_precond), native-MXU speed
-        c = lambda a: a.astype(jnp.float32)
-        s32 = c(stacked)
-        cre = jnp.matmul(s32, c(ops.RC))
-        cim = jnp.matmul(s32, c(ops.RS))
-        ore = (jnp.einsum("kij,jk->ik", c(ops.Kinv_re), cre)
-               - jnp.einsum("kij,jk->ik", c(ops.Kinv_im), cim))
-        oim = (jnp.einsum("kij,jk->ik", c(ops.Kinv_re), cim)
-               + jnp.einsum("kij,jk->ik", c(ops.Kinv_im), cre))
-        out = (jnp.matmul(ore, c(ops.IRC)) + jnp.matmul(oim, c(ops.IRI)))
-        out = out.astype(jnp.float64)
+        tp32 = tan_cast(ops.tan, jnp.float32)
+        c = tan_rfft(stacked.astype(jnp.float32), tp32)
+        kre = ops.Kinv_re.astype(jnp.float32)
+        kim = ops.Kinv_im.astype(jnp.float32)
+        ore = (jnp.einsum("kij,jk->ik", kre, c.re)
+               - jnp.einsum("kij,jk->ik", kim, c.im))
+        oim = (jnp.einsum("kij,jk->ik", kre, c.im)
+               + jnp.einsum("kij,jk->ik", kim, c.re))
+        out = tan_irfft(Cx(ore, oim), tp32).astype(jnp.float64)
         return jnp.concatenate([out[:M].ravel(), out[M:2 * M].ravel(),
                                 out[2 * M:].ravel()])
-    cre = jnp.matmul(stacked, ops.RC, precision=_HIGH)  # (3M-1, nk)
-    cim = jnp.matmul(stacked, ops.RS, precision=_HIGH)
+    c = tan_rfft(stacked, ops.tan)                     # (3M-1, nk)
     # out = Kinv @ c per mode (complex multiply)
-    ore = (jnp.einsum("kij,jk->ik", ops.Kinv_re, cre, precision=_HIGH)
-           - jnp.einsum("kij,jk->ik", ops.Kinv_im, cim, precision=_HIGH))
-    oim = (jnp.einsum("kij,jk->ik", ops.Kinv_re, cim, precision=_HIGH)
-           + jnp.einsum("kij,jk->ik", ops.Kinv_im, cre, precision=_HIGH))
-    out = (jnp.matmul(ore, ops.IRC, precision=_HIGH)
-           + jnp.matmul(oim, ops.IRI, precision=_HIGH))
+    ore = (jnp.einsum("kij,jk->ik", ops.Kinv_re, c.re, precision=_HIGH)
+           - jnp.einsum("kij,jk->ik", ops.Kinv_im, c.im, precision=_HIGH))
+    oim = (jnp.einsum("kij,jk->ik", ops.Kinv_re, c.im, precision=_HIGH)
+           + jnp.einsum("kij,jk->ik", ops.Kinv_im, c.re, precision=_HIGH))
+    out = tan_irfft(Cx(ore, oim), ops.tan)
     return jnp.concatenate([out[:M].ravel(), out[M:2 * M].ravel(),
                             out[2 * M:].ravel()])
 
@@ -258,13 +252,11 @@ class AnnularStokesSolver:
                 K[0:M - 2, 0:M] = self.mu * (-LL0 + c2[:, None] * R02)
                 K[M:2 * M - 2, M:2 * M] = self.mu * (-LL0 + c2[:, None] * R02)
             Kinv[m] = np.linalg.inv(K)
-        plan = FourierPlan1D(n)
         f64 = jnp.asarray
         self._static = dict(
             D01=f64(D01), D12=f64(D12), R01=f64(R01), R12=f64(R12),
             R02=f64(R02), row_lb=f64(lbc), row_ub=f64(ubc),
-            VI1_row0=f64(CO.VI1[:1]), Dt=plan.D1, RC=plan.RC, RS=plan.RS,
-            IRC=plan.IRC, IRI=plan.IRI,
+            VI1_row0=f64(CO.VI1[:1]), tan=make_tan_plan(n),
             Kinv_re=f64(Kinv.real), Kinv_im=f64(Kinv.imag),
             mu=jnp.asarray(self.mu),
         )
