@@ -201,8 +201,15 @@ class FourierPlan2D:
         (nx//2 + 1, ny) holding rows kx = 0..nx/2 (the rest follows from
         Hermitian symmetry).  Costs ~half of fft2: the x-pass packs column
         pairs into one complex transform, and the y-pass only sees the
-        retained rows."""
+        retained rows.
+
+        x may have FEWER than (nx, ny) rows/columns: the missing tail is
+        treated as zeros and skipped by the prefix transforms (the padded
+        free-space evaluators spread sources into the nonzero corner only)."""
         if self.native:
+            if x.shape != (self.nx, self.ny):
+                x = jnp.pad(x, ((0, self.nx - x.shape[0]),
+                                (0, self.ny - x.shape[1])))
             z = jnp.fft.fft(jnp.fft.rfft(x, axis=0), axis=1)
             return Cx(jnp.real(z), jnp.imag(z))
         c = self._tx.rfft_packed(x)
@@ -226,20 +233,22 @@ class FourierPlan2D:
         c = self.rfft2(f)
         return self.irfft2_real(Cx(c.re * symbol_h, c.im * symbol_h))
 
-    def irfft2_real_corner(self, c: Cx, nx_out: int, ny_out: int):
-        """irfft2_real(c)[:nx_out, :ny_out] computed with output-truncated
-        passes: on a 2x-padded evaluator grid only the unpadded corner is
-        used, and truncating the y-pass halves the x-pass's width."""
+    def irfft2_real_corner(self, c: Cx, nx_out: int, ny_out: int,
+                           nx0: int = 0, ny0: int = 0):
+        """irfft2_real(c)[nx0:nx0+nx_out, ny0:ny0+ny_out] computed with
+        output-truncated passes: on a 2x-padded evaluator grid only the
+        unpadded window is used, and truncating the y-pass halves the
+        x-pass's width."""
         if self.native:
             z = jnp.fft.ifft(jax.lax.complex(c.re, c.im), axis=1)
-            return jnp.fft.irfft(z[:, :ny_out], n=self.nx,
-                                 axis=0)[:nx_out]
-        d = self._ty.ifft_trunc(Cx(c.re.T, c.im.T), ny_out)
-        # four-step ifft_trunc returns ceil(ny_out/n1)*n1 rows; slice to
-        # exactly ny_out before the x-pass so the output width is ny_out
-        d = Cx(d.re[:ny_out], d.im[:ny_out])
+            return jnp.fft.irfft(z[:, ny0:ny0 + ny_out], n=self.nx,
+                                 axis=0)[nx0:nx0 + nx_out]
+        d = self._ty.ifft_trunc(Cx(c.re.T, c.im.T), ny0 + ny_out)
+        # four-step ifft_trunc returns ceil(n/n1)*n1 rows; slice to exactly
+        # the requested window before the x-pass
+        d = Cx(d.re[ny0:ny0 + ny_out], d.im[ny0:ny0 + ny_out])
         return self._tx.irfft_packed(Cx(d.re.T, d.im.T),
-                                     n_out=nx_out)[:nx_out]
+                                     n_out=nx_out, n0=nx0)
 
     def solve_symbol(self, f, symbol):
         """ifft2(fft2(f) * symbol).real for real f and real symbol."""
@@ -411,7 +420,12 @@ class SimpleFourierFilter:
 
 
 class DirectDFT1D:
-    """Single-matmul DFT along axis 0 of an (n, m) complex pair."""
+    """Single-matmul DFT along axis 0 of an (n, m) complex pair.
+
+    All forward entry points accept inputs with FEWER than n rows: missing
+    rows are treated as zeros (a "prefix transform") by slicing the DFT
+    matrix columns -- the padded-convolution evaluators exploit this to
+    skip the zero half of their 2x-padded grids without materializing it."""
 
     def __init__(self, n: int):
         c_, s_ = _dft_mats_np(n)
@@ -427,23 +441,28 @@ class DirectDFT1D:
         self.ICI = jnp.asarray(ici)
 
     def fft(self, c: Cx) -> Cx:
-        return Cx(_dot(self.C, c.re) - _dot(self.S, c.im),
-                  _dot(self.S, c.re) + _dot(self.C, c.im))
+        nz = c.re.shape[0]
+        C, S = self.C[:, :nz], self.S[:, :nz]
+        return Cx(_dot(C, c.re) - _dot(S, c.im),
+                  _dot(S, c.re) + _dot(C, c.im))
 
     def fft_real(self, x) -> Cx:
         """DFT of REAL input: half the matmuls of the complex path."""
-        return Cx(_dot(self.C, x), _dot(self.S, x))
+        nz = x.shape[0]
+        return Cx(_dot(self.C[:, :nz], x), _dot(self.S[:, :nz], x))
 
     def rfft_packed(self, x) -> Cx:
         """DFT of REAL input, rows 0..n//2 only (half-matrix matmuls)."""
-        return Cx(_dot(self.RC, x), _dot(self.RS, x))
+        nz = x.shape[0]
+        return Cx(_dot(self.RC[:, :nz], x), _dot(self.RS[:, :nz], x))
 
-    def irfft_packed(self, c: Cx, n_out: int = None):
-        """Real inverse from the half-spectrum rows (Hermitian input)."""
+    def irfft_packed(self, c: Cx, n_out: int = None, n0: int = 0):
+        """Real inverse from the half-spectrum rows (Hermitian input);
+        n_out/n0 keep only output rows [n0, n0 + n_out)."""
         if n_out is None:
             return _dot(self.ICR, c.re) + _dot(self.ICI, c.im)
-        return (_dot(self.ICR[:n_out], c.re)
-                + _dot(self.ICI[:n_out], c.im))
+        return (_dot(self.ICR[n0:n0 + n_out], c.re)
+                + _dot(self.ICI[n0:n0 + n_out], c.im))
 
     def ifft(self, c: Cx) -> Cx:
         o = self.fft(Cx(c.re, -c.im))
@@ -497,23 +516,40 @@ class FourStepFFT1D:
         self.C2T, self.S2T = jnp.asarray(c2.T), jnp.asarray(s2.T)
         self.TWC, self.TWS = jnp.asarray(twc), jnp.asarray(tws)
 
+    def _prefix(self, a):
+        """Pad rows to a j1-block multiple; rows beyond the input are zero
+        (prefix transform, see DirectDFT1D): returns (a_padded, j1max)."""
+        nz = a.shape[0]
+        n2 = self.n2
+        j1max = -(-nz // n2)
+        pad = j1max * n2 - nz
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.zeros((pad, a.shape[1]), a.dtype)], axis=0)
+        return a, j1max
+
     def fft(self, c: Cx) -> Cx:
-        """c: (n, m) complex pair -> (n, m) DFT along axis 0."""
+        """c: (nz <= n, m) complex pair -> (n, m) DFT along axis 0 (rows
+        beyond nz treated as zero)."""
         n1, n2 = self.n1, self.n2
         m = c.re.shape[1]
-        xr = c.re.reshape(n1, n2 * m)
-        xi = c.im.reshape(n1, n2 * m)
-        ar = (_dot(self.C1, xr) - _dot(self.S1, xi)).reshape(n1, n2, m)
-        ai = (_dot(self.S1, xr) + _dot(self.C1, xi)).reshape(n1, n2, m)
+        xr, j1max = self._prefix(c.re)
+        xi, _ = self._prefix(c.im)
+        C1, S1 = self.C1[:, :j1max], self.S1[:, :j1max]
+        xr = xr.reshape(j1max, n2 * m)
+        xi = xi.reshape(j1max, n2 * m)
+        ar = (_dot(C1, xr) - _dot(S1, xi)).reshape(n1, n2, m)
+        ai = (_dot(S1, xr) + _dot(C1, xi)).reshape(n1, n2, m)
         return self._finish(ar, ai, m)
 
     def fft_real(self, x) -> Cx:
-        """DFT of REAL (n, m) input: stage 1 costs half."""
+        """DFT of REAL (nz <= n, m) input: stage 1 costs half."""
         n1, n2 = self.n1, self.n2
         m = x.shape[1]
-        xr = x.reshape(n1, n2 * m)
-        ar = _dot(self.C1, xr).reshape(n1, n2, m)
-        ai = _dot(self.S1, xr).reshape(n1, n2, m)
+        xr, j1max = self._prefix(x)
+        xr = xr.reshape(j1max, n2 * m)
+        ar = _dot(self.C1[:, :j1max], xr).reshape(n1, n2, m)
+        ai = _dot(self.S1[:, :j1max], xr).reshape(n1, n2, m)
         return self._finish(ar, ai, m)
 
     def _finish(self, ar, ai, m):
@@ -560,11 +596,12 @@ class FourStepFFT1D:
         out_i = jnp.stack([ei, oui], axis=2).reshape(nk, -1)[:, :m]
         return Cx(out_r, out_i)
 
-    def irfft_packed(self, c: Cx, n_out: int = None):
+    def irfft_packed(self, c: Cx, n_out: int = None, n0: int = 0):
         """Real inverse from half-spectrum rows 0..n//2 (Hermitian input):
         rebuild the mirrored rows by symmetry, then invert column PAIRS as
-        one complex four-step pass (z = u_even + i u_odd).  n_out truncates
-        the output rows (stage-2 computes only the covering k2 range)."""
+        one complex four-step pass (z = u_even + i u_odd).  n_out/n0 keep
+        only output rows [n0, n0 + n_out) (stage-2 computes only the
+        covering k2 range)."""
         n = self.n
         nk = c.re.shape[0]
         m = c.re.shape[1]
@@ -580,10 +617,10 @@ class FourStepFFT1D:
             z = self.ifft(packed)
             rows = n
         else:
-            z = self.ifft_trunc(packed, n_out)
+            z = self.ifft_trunc(packed, n0 + n_out)
             rows = z.re.shape[0]
         out = jnp.stack([z.re, z.im], axis=2).reshape(rows, -1)[:, :m]
-        return out if n_out is None else out[:n_out]
+        return out if n_out is None else out[n0:n0 + n_out]
 
     def ifft_trunc(self, c: Cx, n_out: int) -> Cx:
         """Inverse keeping only output rows [0, n_out): output index

@@ -511,7 +511,7 @@ class _EvaluatorBase:
         # ipde/grid_evaluators/scalar_grid_evaluator.py)
         self.eta = np.pi / (11.4 * max(hx, hy))
 
-    def _setup_spreading(self, src_x, src_y, w):
+    def _setup_spreading(self, src_x, src_y, w, wrap: bool = True):
         grid, Px, Py = self.grid, self.Px, self.Py
         hx, hy = grid.xh, grid.yh
         beta = 2.30 * w
@@ -524,7 +524,32 @@ class _EvaluatorBase:
         py = jy[:, None] + np.arange(w)[None, :]
         wx = _es_kernel((gx[:, None] - px) / half_w, beta)
         wy = _es_kernel((gy[:, None] - py) / half_w, beta)
-        flat = (np.mod(px, Px)[:, :, None] * Py + np.mod(py, Py)[:, None, :])
+        if wrap:
+            # periodic evaluators: windows legitimately wrap the torus
+            flat = (np.mod(px, Px)[:, :, None] * Py
+                    + np.mod(py, Py)[:, None, :])
+            self.sx_cells = self.sy_cells = 0
+            self.spread_shape = (Px, Py)
+        else:
+            # free-space (padded) evaluators: all sources live in the
+            # unpadded corner, so shift the padded-box origin instead of
+            # wrapping.  The spread array then has support ONLY in a
+            # (nzx, nzy) ~ unpadded-size prefix block: the forward
+            # transforms skip the zero padding entirely (prefix transforms
+            # in ops/fourier.py), and the convolution's translation
+            # invariance moves the shift into the inverse-transform window
+            # (irfft2_real_corner nx0/ny0) -- no phase factors anywhere.
+            sx = int(max(0, -px.min()))
+            sy = int(max(0, -py.min()))
+            pxs = px + sx
+            pys = py + sy
+            nzx = int(pxs.max()) + 1
+            nzy = int(pys.max()) + 1
+            if nzx > Px or nzy > Py:
+                raise ValueError("source windows exceed the padded box")
+            flat = pxs[:, :, None] * nzy + pys[:, None, :]
+            self.sx_cells, self.sy_cells = sx, sy
+            self.spread_shape = (nzx, nzy)
         self.spread_idx = jnp.asarray(flat.reshape(self.S, w * w), jnp.int32)
         self.spread_w = jnp.asarray((wx[:, :, None] * wy[:, None, :])
                                     .reshape(self.S, w * w))
@@ -553,10 +578,11 @@ class _EvaluatorBase:
         self.fft_plan = FourierPlan2D(Px, Py)
 
     def _spread(self, q):
-        spread = jnp.zeros(self.Px * self.Py)
+        nzx, nzy = self.spread_shape
+        spread = jnp.zeros(nzx * nzy)
         vals = (self.spread_w * q[:, None]).ravel()
         return spread.at[self.spread_idx.ravel()].add(vals)\
-            .reshape(self.Px, self.Py)
+            .reshape(nzx, nzy)
 
     def _patch_geometry(self, src_x, src_y, r_cut):
         """Vectorized near-pair geometry ON DEVICE: every source gets one
@@ -655,7 +681,7 @@ class FreespaceGridEvaluator(_EvaluatorBase):
         self.S = src_x.size
         self.kernel = kernel
         self._setup_box(grid, src_x, src_y, pad, target_bounds, target_hull)
-        self._setup_spreading(src_x, src_y, w)
+        self._setup_spreading(src_x, src_y, w, wrap=False)
         L, eta = self.L, self.eta
         kap2 = kappa**2 if kernel == "yukawa" else 0.0
         if kernel == "laplace":
@@ -688,7 +714,8 @@ class FreespaceGridEvaluator(_EvaluatorBase):
         spread = self._spread(q)
         c = self.fft_plan.rfft2(spread)
         c = Cx(c.re * self.mult, c.im * self.mult)
-        phi = self.fft_plan.irfft2_real_corner(c, self.grid.Nx, self.grid.Ny)
+        phi = self.fft_plan.irfft2_real_corner(c, self.grid.Nx, self.grid.Ny,
+                                               self.sx_cells, self.sy_cells)
         (phi,) = self._apply_patches(
             [phi], [self.patches * q[:, None]])
         return phi
@@ -800,7 +827,7 @@ class StokesFreespaceGridEvaluator(_EvaluatorBase):
         src_y = np.asarray(src_y, np.float64).ravel()
         self.S = src_x.size
         self._setup_box(grid, src_x, src_y, pad, target_bounds, target_hull)
-        self._setup_spreading(src_x, src_y, w)
+        self._setup_spreading(src_x, src_y, w, wrap=False)
         L, eta = self.L, self.eta
         # velocity screen: the Hasimoto/Ewald factor (1 + k^2/4eta^2) gauss.
         # A plain Gaussian leaves (1 - gauss) k_i k_j / k^4 terms that are
@@ -882,7 +909,8 @@ class StokesFreespaceGridEvaluator(_EvaluatorBase):
         wre = self.multB * (ky * Fx.re - kx * Fy.re)
         wim = self.multB * (ky * Fx.im - kx * Fy.im)
         Nx, Ny = self.grid.Nx, self.grid.Ny
-        corner = lambda cc: self.fft_plan.irfft2_real_corner(cc, Nx, Ny)
+        corner = lambda cc: self.fft_plan.irfft2_real_corner(
+            cc, Nx, Ny, self.sx_cells, self.sy_cells)
         u = corner(Cx(ky * wre, ky * wim))
         v = corner(Cx(-kx * wre, -kx * wim))
         # p = ifft[-i (kx Fx + ky Fy) Qhat]

@@ -127,8 +127,19 @@ def main():
     # 3b. interp internals (fine iFFT vs gather+window contraction):
     # decides whether a tile-binned Pallas gather kernel is worth building
     def interp_breakdown(name, interp, nmx, nmy):
-        from ipde_tpu.ops.interp import PeriodicInterpolator2D, _pad_modes
+        from ipde_tpu.ops.interp import (HybridInterp2D,
+                                         PeriodicInterpolator2D, _pad_modes)
         from ipde_tpu.ops.cx import Cx
+        if isinstance(interp, HybridInterp2D):
+            rng = np.random.default_rng(0)
+            mre = jnp.asarray(rng.standard_normal((nmx, nmy)))
+            mim = jnp.asarray(rng.standard_normal((nmx, nmy)))
+            ms, _ = timeit(planified(
+                lambda re, im: interp._one_from_modes(Cx(re, im)), solver),
+                mre, mim, latency=lat)
+            print(f"{name} hybrid total  {ms:8.1f} ms  "
+                  f"(T={interp.T} w={interp.w} nx={interp.nx})")
+            return
         if not isinstance(interp, PeriodicInterpolator2D):
             print(f"{name}: exact-interp path (no fine grid)")
             return
