@@ -52,6 +52,27 @@ def test_interp_matches_exact(cls, nx, ny, xo):
     assert float(jnp.max(jnp.abs(vb[1] - 2 * exact))) / scale < 1e-12
 
 
+def test_low_upsampling_window_matches_exact():
+    """sigma=1.25 / w=24 (the few-targets-on-big-grid configuration) must
+    hold the same ~1e-14 accuracy as sigma=2 / w=16."""
+    rng = np.random.default_rng(7)
+    nx, ny = 256, 288
+    f = _smooth_field(rng, nx, ny)
+    T = 700
+    tx = rng.uniform(0, 2 * np.pi, T)
+    ty = rng.uniform(0, 2 * np.pi, T)
+    c = Cx(jnp.asarray(np.real(np.fft.fft2(f))),
+           jnp.asarray(np.imag(np.fft.fft2(f))))
+    exact = nufft2d2_exact(c, tx, ty)
+    p = PeriodicInterpolator2D(nx, ny, tx, ty, sigma=1.25, w=24)
+    err = float(jnp.max(jnp.abs(p.from_modes(c) - exact)))
+    assert err / float(jnp.max(jnp.abs(exact))) < 5e-13
+    # the chooser picks this configuration for few targets on a big grid
+    m = make_interpolator(nx, ny, tx, ty, exact_max_modes=0,
+                          exact_max_targets=0)
+    assert isinstance(m, PeriodicInterpolator2D) and m.w == 24
+
+
 def test_make_interpolator_picks_hybrid_for_radial_shapes():
     rng = np.random.default_rng(5)
     nx, ny = 40, 2048       # 2M x nb beyond the exact-path mode budget
