@@ -70,17 +70,24 @@ def _matvec(ops: StokesOps, v, M: int, n: int):
     ut = v[NU:2 * NU].reshape(M, n)
     p = v[2 * NU:].reshape(M - 1, n)
     mm = lambda a, b: jnp.matmul(a, b, precision=_HIGH)
-    dur = tan_deriv(ur, ops.tan)
-    dut = tan_deriv(ut, ops.tan)
+    # round 1: one batched transform for (ur, ut, p) tangential derivatives
+    d_all = tan_deriv(jnp.concatenate([ur, ut, p], axis=0), ops.tan)
+    dur = d_all[:M]
+    dut = d_all[M:2 * M]
+    dp = d_all[2 * M:]
+    # round 2: one batched transform for the two Laplacian inner derivatives
+    w_r = mm(ops.R01, dur) * ops.inv_psi1
+    w_t = mm(ops.R01, dut) * ops.inv_psi1
+    dw = tan_deriv(jnp.concatenate([w_r, w_t], axis=0), ops.tan)
+    Mm1 = M - 1
 
-    def scalar_lap(u, du):
+    def scalar_lap(u, dwk):
         t1 = mm(ops.D12, ops.psi1 * mm(ops.D01, u))
-        w = mm(ops.R01, du) * ops.inv_psi1
-        t2 = mm(ops.R12, tan_deriv(w, ops.tan))
+        t2 = mm(ops.R12, dwk)
         return (t1 + t2) * ops.inv_psi2
 
-    lap_ur = scalar_lap(ur, dur)
-    lap_ut = scalar_lap(ut, dut)
+    lap_ur = scalar_lap(ur, dw[:Mm1])
+    lap_ut = scalar_lap(ut, dw[Mm1:])
     W1r = mm(ops.R02, ur)
     W1t = mm(ops.R02, ut)
     # ur equation
@@ -90,7 +97,7 @@ def _matvec(ops: StokesOps, v, M: int, n: int):
     # ut equation
     ft = (ops.mu * (-lap_ut - mm(ops.R02, dur) * ops.combo1
                     + W1t * ops.combo2 - W1r * ops.cross)
-          + mm(ops.R12, tan_deriv(p, ops.tan)) * ops.inv_psi2)
+          + mm(ops.R12, dp) * ops.inv_psi2)
     # divergence equation
     fp = (mm(ops.D01, ur * ops.psi0)
           + mm(ops.R01, dut)) * ops.inv_psi1
