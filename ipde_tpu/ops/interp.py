@@ -118,6 +118,41 @@ def build_nufft_plan(nx: int, ny: int, tx: np.ndarray, ty: np.ndarray,
     )
 
 
+def _pad_modes_half(c: Cx, nx, ny, nfx, nfy) -> Cx:
+    """Zero-pad fft2 modes of a REAL (nx, ny) field to the HALF spectrum
+    (nfx//2 + 1, nfy) of the fine grid (even nx only).
+
+    Satisfies irfft2_real(this) == Re(ifft2(full zero-padding)): taking
+    the real part Hermitian-symmetrizes the full padded array, which
+    SPLITS each input Nyquist line (row nx/2, and column ny/2 when ny is
+    even) half-and-half between +/- placements -- exact for real-field
+    inputs, whose Nyquist lines are self-conjugate."""
+    hx, hy = nx // 2, ny // 2
+
+    def cols(row):
+        """Column placement with the +/-hy Nyquist split (even ny) or the
+        correct positive/negative mapping (odd ny)."""
+        out = jnp.zeros((nfy,), row.dtype)
+        if ny % 2 == 0:
+            out = out.at[:hy].set(row[:hy])
+            out = out.at[hy].set(0.5 * row[hy])
+            out = out.at[nfy - hy].set(0.5 * row[hy])
+            out = out.at[nfy - hy + 1:].set(row[hy + 1:])
+        else:
+            out = out.at[:hy + 1].set(row[:hy + 1])
+            out = out.at[nfy - hy:].set(row[hy + 1:])
+        return out
+
+    def pad(a):
+        rows = jax.vmap(cols)(a)                     # (nx, nfy) placed
+        out = jnp.zeros((nfx // 2 + 1, nfy), a.dtype)
+        out = out.at[:hx].set(rows[:hx])
+        out = out.at[hx].set(0.5 * rows[hx])
+        return out
+
+    return Cx(pad(c.re), pad(c.im))
+
+
 def _pad_modes(c: Cx, nx, ny, nfx, nfy) -> Cx:
     """Zero-pad an (nx, ny) fftfreq-ordered mode array to (nfx, nfy)."""
     def pad(a):
@@ -168,8 +203,14 @@ class PeriodicInterpolator2D:
         p = self.plan
         scale = 1.0 / (p.nx * p.ny)
         cd = Cx(c.re * p.deconv * scale, c.im * p.deconv * scale)
-        cp = _pad_modes(cd, p.nx, p.ny, p.nfx, p.nfy)
-        fine = self.fine_plan.ifft2_real(cp) * (p.nfx * p.nfy)
+        if p.nx % 2 == 0:
+            # real-field inputs: half-spectrum inverse (column-pair packed
+            # x-pass) costs ~half of the full complex fine iFFT
+            cp = _pad_modes_half(cd, p.nx, p.ny, p.nfx, p.nfy)
+            fine = self.fine_plan.irfft2_real(cp) * (p.nfx * p.nfy)
+        else:
+            cp = _pad_modes(cd, p.nx, p.ny, p.nfx, p.nfy)
+            fine = self.fine_plan.ifft2_real(cp) * (p.nfx * p.nfy)
         patches = jnp.take(fine.ravel(), p.flat_idx, axis=0)
         patches = patches.reshape(self.T, self.w, self.w)
         return jnp.einsum("tp,tq,tpq->t", p.wx, p.wy, patches,

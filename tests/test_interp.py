@@ -52,6 +52,35 @@ def test_interp_matches_exact(cls, nx, ny, xo):
     assert float(jnp.max(jnp.abs(vb[1] - 2 * exact))) / scale < 1e-12
 
 
+def test_pad_modes_half_matches_symmetric_upsampling():
+    """irfft2_real(_pad_modes_half(c)) must equal the canonical symmetric
+    zero-pad upsampling (Nyquist lines split half/half) exactly, even for
+    rough fields with full Nyquist content."""
+    from ipde_tpu.ops.fourier import FourierPlan2D
+    from ipde_tpu.ops.interp import _pad_modes_half
+    rng = np.random.default_rng(11)
+    for nx, ny, nfx, nfy in [(16, 12, 40, 30), (16, 13, 40, 33)]:
+        f = rng.standard_normal((nx, ny))
+        F = np.fft.fft2(f)
+        c = Cx(jnp.asarray(F.real), jnp.asarray(F.imag))
+        plan = FourierPlan2D(nfx, nfy, native=False)
+        half = plan.irfft2_real(_pad_modes_half(c, nx, ny, nfx, nfy))
+        P = np.zeros((nfx, nfy), complex)
+        fx = np.fft.fftfreq(nx, 1 / nx).astype(int)
+        fy = np.fft.fftfreq(ny, 1 / ny).astype(int)
+        for i, ki in enumerate(fx):
+            for j, kj in enumerate(fy):
+                ti = ([ki % nfx] if abs(ki) != nx // 2 or nx % 2
+                      else [ki % nfx, (-ki) % nfx])
+                tj = ([kj % nfy] if abs(kj) != ny // 2 or ny % 2
+                      else [kj % nfy, (-kj) % nfy])
+                for a in ti:
+                    for b in tj:
+                        P[a, b] += F[i, j] / (len(ti) * len(tj))
+        oracle = np.fft.ifft2(P).real
+        assert np.abs(np.asarray(half) - oracle).max() < 1e-13
+
+
 def test_low_upsampling_window_matches_exact():
     """sigma=1.25 / w=24 (the few-targets-on-big-grid configuration) must
     hold the same ~1e-14 accuracy as sigma=2 / w=16."""
