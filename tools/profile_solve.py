@@ -128,7 +128,8 @@ def main():
     # decides whether a tile-binned Pallas gather kernel is worth building
     def interp_breakdown(name, interp, nmx, nmy):
         from ipde_tpu.ops.interp import (HybridInterp2D,
-                                         PeriodicInterpolator2D, _pad_modes)
+                                         PeriodicInterpolator2D, _pad_modes,
+                                         _pad_modes_half)
         from ipde_tpu.ops.cx import Cx
         if isinstance(interp, HybridInterp2D):
             rng = np.random.default_rng(0)
@@ -150,6 +151,9 @@ def main():
 
         def fine_part(re, im):
             cd = Cx(re * p.deconv, im * p.deconv)
+            if p.nx % 2 == 0:
+                cp = _pad_modes_half(cd, p.nx, p.ny, p.nfx, p.nfy)
+                return interp.fine_plan.irfft2_real(cp)
             cp = _pad_modes(cd, p.nx, p.ny, p.nfx, p.nfy)
             return interp.fine_plan.ifft2_real(cp)
 
