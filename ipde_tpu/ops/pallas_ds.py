@@ -78,6 +78,28 @@ def _split(a):
     return hi, a - hi
 
 
+def _split_const(c: float):
+    """Host-side Dekker split of an f32-representable constant: Mosaic's
+    tpu.bitcast only accepts vectors, so the in-kernel _split cannot be
+    fed a scalar constant -- and for a trace-time-known float the split
+    is itself a pair of trace-time constants."""
+    import numpy as _np
+    cf = _np.float32(c)
+    hi = _np.int32(cf.view(_np.int32) & _np.int32(-4096)).view(_np.float32)
+    return float(hi), float(cf - hi)
+
+
+def _two_prod_c(a, c: float):
+    """a * c for an f32-exact scalar constant c: the constant's split
+    pieces are host floats (exact 12-bit mantissas), so every product
+    below is exact and contraction-immune exactly as in _two_prod."""
+    ah, al = _split(a)
+    ch, cl = _split_const(c)
+    p0, t0 = _two_sum(ah * f32(ch), ah * f32(cl))
+    p1, t1 = _two_sum(p0, al * f32(ch))
+    return p1, (t0 + t1) + al * f32(cl)
+
+
 def _two_prod(a, b):
     """a * b = p + e, accurate to ~2^-46 relative, CONTRACTION-IMMUNE.
 
@@ -142,6 +164,16 @@ def _ds_scale(ah, al, c: float):
     return ah * f32(c), al * f32(c)
 
 
+# Whether _cbar wraps constants in an optimization_barrier.  True for the
+# interpret path (the kernel jaxpr runs through XLA, whose algebraic
+# simplifier needs blocking); False when lowering to real TPU Pallas:
+# Mosaic has no optimization_barrier lowering, and as an MLIR pipeline it
+# does not apply value-changing FP rewrites like (c + x) - c -> x outside
+# fast-math (the hardware accuracy suite in tools/pallas_probe.py pins
+# this assumption against exact-f64 references on every run).
+_BARRIER = True
+
+
 def _cbar(c: float, like):
     """A scalar constant as a compiler-opaque array.
 
@@ -152,7 +184,10 @@ def _cbar(c: float, like):
     An optimization_barrier around the broadcast constant blocks the
     HLO-level rewrite (unlike LLVM fma contraction, which barriers do
     NOT block -- that one is handled structurally in _two_prod)."""
-    return jax.lax.optimization_barrier(jnp.full(like.shape, f32(c)))
+    cc = jnp.full(like.shape, f32(c))
+    if _BARRIER:
+        cc = jax.lax.optimization_barrier(cc)
+    return cc
 
 
 def _ds_const(x: float):
@@ -226,8 +261,8 @@ def _log_ds(r2h, r2l):
     logm_h, logm_l = 2.0 * wh, 2.0 * wl
 
     # k ln2 in ds: exact product with the hi piece, compensated lo pieces
-    kh, ke = _two_prod(kf, f32(_LN2_H))
-    k2h, k2e = _two_prod(kf, f32(_LN2_L))
+    kh, ke = _two_prod_c(kf, _LN2_H)
+    k2h, k2e = _two_prod_c(kf, _LN2_L)
     klh, kll = _ds_add(kh, ke, k2h, k2e)
     kll = kll + kf * f32(_LN2_L2)
 
@@ -247,7 +282,7 @@ def _ds_add_c(c, xh, xl):
 
 def _ds_mul_c(c, xh, xl):
     """ds x * exact python-float ds constant c = (c_hi, c_lo)."""
-    ph, pe = _two_prod(jnp.full(xh.shape, f32(c[0])), xh)
+    ph, pe = _two_prod_c(xh, c[0])
     return _fast_two_sum(ph, pe + (f32(c[0]) * xl + f32(c[1]) * xh))
 
 
@@ -275,8 +310,8 @@ def _ds_exp_neg(zh, zl):
     built by exponent bit assembly.  Callers clamp z <= 36 (k <= 52)."""
     kf = jnp.round(zh * f32(1.0 / math.log(2.0)))
     # r = z - k ln2 via exact products with the split ln2 pieces
-    kh, ke = _two_prod(kf, f32(_LN2_H))
-    k2h, k2e = _two_prod(kf, f32(_LN2_L))
+    kh, ke = _two_prod_c(kf, _LN2_H)
+    k2h, k2e = _two_prod_c(kf, _LN2_L)
     klh, kll = _ds_add(kh, ke, k2h, k2e)
     kll = kll + kf * f32(_LN2_L2)
     rh, rl = _ds_add(zh, zl, -klh, -kll)
@@ -410,8 +445,10 @@ def _lane_reduce_ds(hh, ll):
     sh = _SB // 2
     while sh >= 1:
         # lane i accumulates lane i+sh (circular; only lane 0 is consumed)
-        rh = pltpu.roll(hh, _SB - sh, 1)
-        rl = pltpu.roll(ll, _SB - sh, 1)
+        # shift must be i32: an i64 scalar (x64 default) fails Mosaic's
+        # tpu.dynamic_rotate verifier on hardware
+        rh = pltpu.roll(hh, jnp.int32(_SB - sh), 1)
+        rl = pltpu.roll(ll, jnp.int32(_SB - sh), 1)
         hh, ll = _ds_add(hh, ll, rh, rl)
         sh //= 2
     return hh, ll
@@ -659,18 +696,23 @@ def _dispatch(kind, interpret, sx, sy, q1, q2, tx, ty, kparam=None):
                   "stokes": _stokes_kernel}[kind]
     flops_per_pair = {"laplace": 300, "grad": 180, "stokes": 560,
                       "mh": 2600}[kind]
-    outs = pl.pallas_call(
-        kernel,
-        grid=(Tpad // _TT,),
-        in_specs=[_target_spec()] * 4 + [_source_spec()] * (len(srcs)),
-        out_specs=[_target_spec()] * n_out,
-        out_shape=[jax.ShapeDtypeStruct((Tpad, 1), f32)] * n_out,
-        cost_estimate=pl.CostEstimate(
-            flops=flops_per_pair * Tpad * Spad,
-            bytes_accessed=4 * (Tpad * (4 + n_out) + Spad * len(srcs)),
-            transcendentals=0),
-        interpret=interpret,
-    )(*tgt, *srcs)
+    global _BARRIER
+    _BARRIER = bool(interpret)   # kernel traces synchronously below
+    try:
+        outs = pl.pallas_call(
+            kernel,
+            grid=(Tpad // _TT,),
+            in_specs=[_target_spec()] * 4 + [_source_spec()] * (len(srcs)),
+            out_specs=[_target_spec()] * n_out,
+            out_shape=[jax.ShapeDtypeStruct((Tpad, 1), f32)] * n_out,
+            cost_estimate=pl.CostEstimate(
+                flops=flops_per_pair * Tpad * Spad,
+                bytes_accessed=4 * (Tpad * (4 + n_out) + Spad * len(srcs)),
+                transcendentals=0),
+            interpret=interpret,
+        )(*tgt, *srcs)
+    finally:
+        _BARRIER = True
     return [_from_ds(outs[2 * i], outs[2 * i + 1])[:, 0][:T]
             for i in range(n_out // 2)]
 
