@@ -8,7 +8,7 @@ chip is ALREADY a hi+lo-f32 ("double-single", ~2^-48) emulation, but it
 emulates every intermediate at full generality and materializes chunked
 (T, S) f64 intermediates through HBM.  Here the whole pairwise kernel is
 one VMEM-resident Pallas program in explicit double-single arithmetic:
-per (target-tile, source-block) all ~(256,128) intermediates live in
+per (target-tile, source) step all (8,256) intermediates live in
 registers/VMEM, and the only HBM traffic is targets in / sums out, i.e.
 O(T + S) instead of O(T*S).
 
@@ -17,8 +17,9 @@ Accuracy: the log kernel is computed exp/seed-free via exponent extraction
 absolute on log(r2) -- measured against mpmath on [1e-30, 1e6] (see
 tests/test_pallas_ds.py).  This dodges both TPU-f64 pitfalls recorded in
 the project notes: the ~1.4e-10 f64 transcendentals and the erratic
-2^-24-scale dot_general (no MXU contraction appears at all; the reduction
-is an explicit in-register double-single lane tree).
+2^-24-scale dot_general (no MXU contraction appears at all; each target
+accumulates in place in its own lane, so no cross-lane reduction exists
+either).
 
 Exactness requirements on the hardware: f32 add/sub/mul must be IEEE
 round-to-nearest, and the compiler must not contract a*b +/- c into an
@@ -45,10 +46,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 f32 = jnp.float32
 i32 = jnp.int32
-
-_TT = 256          # targets per tile (sublane axis)
-_SB = 128          # sources per block (lane axis)
-
 
 # ---------------------------------------------------------------------------
 # double-single primitives on f32 arrays (error-free transforms)
@@ -439,200 +436,146 @@ def _pair_geometry(txh, txl, tyh, tyl, sxh, sxl, syh, syl):
     return (dxh, dxl), (dyh, dyl), (r2h, r2l)
 
 
-def _lane_reduce_ds(hh, ll):
-    """Sum a (TT, SB) ds array over lanes -> lane 0, via a ds roll tree
-    (jnp.sum on the parts would lose ~4e-7 relative; this stays ~2^-48)."""
-    sh = _SB // 2
-    while sh >= 1:
-        # lane i accumulates lane i+sh (circular; only lane 0 is consumed)
-        # shift must be i32: an i64 scalar (x64 default) fails Mosaic's
-        # tpu.dynamic_rotate verifier on hardware
-        rh = pltpu.roll(hh, jnp.int32(_SB - sh), 1)
-        rl = pltpu.roll(ll, jnp.int32(_SB - sh), 1)
-        hh, ll = _ds_add(hh, ll, rh, rl)
-        sh //= 2
-    return hh, ll
+# ---------------------------------------------------------------------------
+# kernels: per-source tile updates
+#
+# Layout (forced by the axon remote compiler, which rejects every Mosaic
+# program using grid=, explicit DMA, dynamic stores, or dynamic rotates
+# with an opaque HTTP-500 from its chipless TpuAotCompiler; see
+# PROGRESS.md round-3 hardware notes):
+#   * gridless pallas_call, all operands resident in VMEM/SMEM;
+#   * targets packed 2D (rows, 256) -- natural (8,128) tiling, no lane
+#     padding waste -- processed as statically-unrolled (8, 256) tiles
+#     (dynamic loads are fine; dynamic STORES infinite-recurse in this
+#     jax version's Mosaic lowering, so output writes must be static);
+#   * sources as SMEM scalar columns (SC, 1), read one scalar per
+#     fori_loop step and broadcast against the whole target tile.  The
+#     remote compiler caps total SMEM operands at ~1024 words, so calls
+#     take at most _SC sources; the host scans over source chunks and
+#     accumulates partials in f64 (each partial is ds-exact, so the only
+#     added rounding is one f64 add per chunk).
+# Compared to the old (target, source-block) pair-tile design this also
+# deletes the cross-lane ds reduction tree: each target's sum
+# accumulates in place in its own lane.
+# ---------------------------------------------------------------------------
+
+_TR = 8            # tile sublanes
+_TL = 256          # tile lanes; one tile = 2048 targets
+_TILE = _TR * _TL
+_MAX_TILES = 16    # per-call unroll cap: 32768 targets / call
+_SC = 128          # sources per call (SMEM budget)
 
 
-def _laplace_kernel(txh_ref, txl_ref, tyh_ref, tyl_ref,
-                    sxh_ref, sxl_ref, syh_ref, syl_ref, qh_ref, ql_ref,
-                    oh_ref, ol_ref):
-    """sum_j -log|x-s_j|^2 * q_j  (caller scales by 1/(4 pi))."""
-    txh = txh_ref[:, :]
-    txl = txl_ref[:, :]
-    tyh = tyh_ref[:, :]
-    tyl = tyl_ref[:, :]
-    nsb = sxh_ref.shape[0]
-
-    def body(j, acc):
-        ah, al = acc
-        sxh = sxh_ref[pl.ds(j, 1), :]
-        sxl = sxl_ref[pl.ds(j, 1), :]
-        syh = syh_ref[pl.ds(j, 1), :]
-        syl = syl_ref[pl.ds(j, 1), :]
-        qh = qh_ref[pl.ds(j, 1), :]
-        ql = ql_ref[pl.ds(j, 1), :]
-        _, _, (r2h, r2l) = _pair_geometry(txh, txl, tyh, tyl,
-                                          sxh, sxl, syh, syl)
-        lh, ll = _log_ds(r2h, r2l)
-        mh, ml = _ds_mul(lh, ll, qh, ql)
-        return _ds_add(ah, al, -mh, -ml)
-
-    z = jnp.zeros((_TT, _SB), f32)
-    ah, al = jax.lax.fori_loop(0, nsb, body, (z, z))
-    ah, al = _lane_reduce_ds(ah, al)
-    oh_ref[:, :] = ah[:, 0:1]
-    ol_ref[:, :] = al[:, 0:1]
+def _laplace_update(acc, tds, svals, kparam):
+    """acc += -log|x-s_j|^2 * q_j  (caller scales by 1/(4 pi))."""
+    ah, al = acc
+    (sxh, sxl), (syh, syl), (qh, ql) = svals
+    _, _, (r2h, r2l) = _pair_geometry(*tds, sxh, sxl, syh, syl)
+    lh, ll = _log_ds(r2h, r2l)
+    mh, ml = _ds_mul(lh, ll, qh, ql)
+    return _ds_add(ah, al, -mh, -ml)
 
 
-def _laplace_grad_kernel(txh_ref, txl_ref, tyh_ref, tyl_ref,
-                         sxh_ref, sxl_ref, syh_ref, syl_ref,
-                         qh_ref, ql_ref,
-                         gxh_ref, gxl_ref, gyh_ref, gyl_ref):
+def _grad_update(acc, tds, svals, kparam):
     """(d/dx, d/dy) sum_j -log|x-s_j| q_j = sum_j -(dx, dy)/r2 q_j
     (caller scales by 1/(2 pi))."""
-    txh = txh_ref[:, :]
-    txl = txl_ref[:, :]
-    tyh = tyh_ref[:, :]
-    tyl = tyl_ref[:, :]
-    nsb = sxh_ref.shape[0]
-
-    def body(j, acc):
-        xh, xl, yh, yl = acc
-        sxh = sxh_ref[pl.ds(j, 1), :]
-        sxl = sxl_ref[pl.ds(j, 1), :]
-        syh = syh_ref[pl.ds(j, 1), :]
-        syl = syl_ref[pl.ds(j, 1), :]
-        qh = qh_ref[pl.ds(j, 1), :]
-        ql = ql_ref[pl.ds(j, 1), :]
-        (dxh, dxl), (dyh, dyl), (r2h, r2l) = _pair_geometry(
-            txh, txl, tyh, tyl, sxh, sxl, syh, syl)
-        ih, il = _ds_recip(r2h, r2l)
-        cqh, cql = _ds_mul(ih, il, qh, ql)
-        mxh, mxl = _ds_mul(dxh, dxl, cqh, cql)
-        myh, myl = _ds_mul(dyh, dyl, cqh, cql)
-        xh, xl = _ds_add(xh, xl, -mxh, -mxl)
-        yh, yl = _ds_add(yh, yl, -myh, -myl)
-        return xh, xl, yh, yl
-
-    z = jnp.zeros((_TT, _SB), f32)
-    xh, xl, yh, yl = jax.lax.fori_loop(0, nsb, body, (z, z, z, z))
-    xh, xl = _lane_reduce_ds(xh, xl)
-    yh, yl = _lane_reduce_ds(yh, yl)
-    gxh_ref[:, :] = xh[:, 0:1]
-    gxl_ref[:, :] = xl[:, 0:1]
-    gyh_ref[:, :] = yh[:, 0:1]
-    gyl_ref[:, :] = yl[:, 0:1]
+    xh, xl, yh, yl = acc
+    (sxh, sxl), (syh, syl), (qh, ql) = svals
+    (dxh, dxl), (dyh, dyl), (r2h, r2l) = _pair_geometry(
+        *tds, sxh, sxl, syh, syl)
+    ih, il = _ds_recip(r2h, r2l)
+    cqh, cql = _ds_mul(ih, il, qh, ql)
+    mxh, mxl = _ds_mul(dxh, dxl, cqh, cql)
+    myh, myl = _ds_mul(dyh, dyl, cqh, cql)
+    xh, xl = _ds_add(xh, xl, -mxh, -mxl)
+    yh, yl = _ds_add(yh, yl, -myh, -myl)
+    return xh, xl, yh, yl
 
 
-def _make_mh_kernel(k: float):
-    """sum_j K0(k |x-s_j|) q_j (caller scales by 1/(2 pi)); k static."""
-    kq = _ds_const(k * k / 4.0)
-    kc = _ds_const(k)
+def _mh_update(acc, tds, svals, kparam):
+    """acc += K0(k |x-s_j|) q_j (caller scales by 1/(2 pi)); k static."""
+    kq = _ds_const(kparam * kparam / 4.0)
+    kc = _ds_const(kparam)
+    ah, al = acc
+    (sxh, sxl), (syh, syl), (qh, ql) = svals
+    _, _, (r2h, r2l) = _pair_geometry(*tds, sxh, sxl, syh, syl)
+    qqh, qql = _ds_mul_c(kq, r2h, r2l)           # q = k^2 r^2 / 4
+    rh, rl = _ds_sqrt(r2h, r2l)
+    zh, zl = _ds_mul_c(kc, rh, rl)               # z = k r
+    k0h, k0l = _k0_ds(qqh, qql, zh, zl)
+    mh, ml = _ds_mul(k0h, k0l, qh, ql)
+    return _ds_add(ah, al, mh, ml)
 
-    def kernel(txh_ref, txl_ref, tyh_ref, tyl_ref,
-               sxh_ref, sxl_ref, syh_ref, syl_ref, qh_ref, ql_ref,
-               oh_ref, ol_ref):
-        txh = txh_ref[:, :]
-        txl = txl_ref[:, :]
-        tyh = tyh_ref[:, :]
-        tyl = tyl_ref[:, :]
-        nsb = sxh_ref.shape[0]
 
-        def body(j, acc):
-            ah, al = acc
-            sxh = sxh_ref[pl.ds(j, 1), :]
-            sxl = sxl_ref[pl.ds(j, 1), :]
-            syh = syh_ref[pl.ds(j, 1), :]
-            syl = syl_ref[pl.ds(j, 1), :]
-            qh = qh_ref[pl.ds(j, 1), :]
-            ql = ql_ref[pl.ds(j, 1), :]
-            _, _, (r2h, r2l) = _pair_geometry(txh, txl, tyh, tyl,
-                                              sxh, sxl, syh, syl)
-            qqh, qql = _ds_mul_c(kq, r2h, r2l)           # q = k^2 r^2 / 4
-            rh, rl = _ds_sqrt(r2h, r2l)
-            zh, zl = _ds_mul_c(kc, rh, rl)               # z = k r
-            k0h, k0l = _k0_ds(qqh, qql, zh, zl)
-            mh, ml = _ds_mul(k0h, k0l, qh, ql)
-            return _ds_add(ah, al, mh, ml)
+def _stokes_update(acc, tds, svals, kparam):
+    """Stokeslet velocity+pressure (conventions of ops/stokes_kernels.py):
+      u += (ilr + dx^2/r2) fx + (dx dy / r2) fy        [/ 4 pi by caller]
+      v += (dx dy / r2) fx + (ilr + dy^2/r2) fy
+      p += (dx fx + dy fy) / r2                        [/ 2 pi by caller]
+    with ilr = -log(r2)/2."""
+    uh, ul, vh, vl, ph, pll = acc
+    (sxh, sxl), (syh, syl), (fxh, fxl), (fyh, fyl) = svals
+    (dxh, dxl), (dyh, dyl), (r2h, r2l) = _pair_geometry(
+        *tds, sxh, sxl, syh, syl)
+    lh, ll = _log_ds(r2h, r2l)
+    ilrh, ilrl = -0.5 * lh, -0.5 * ll
+    ih, il = _ds_recip(r2h, r2l)
+    x2h, x2l = _ds_sqr(dxh, dxl)
+    ah, al = _ds_mul(x2h, x2l, ih, il)
+    y2h, y2l = _ds_sqr(dyh, dyl)
+    bh, bl = _ds_mul(y2h, y2l, ih, il)
+    xyh, xyl = _ds_mul(dxh, dxl, dyh, dyl)
+    ch, cl = _ds_mul(xyh, xyl, ih, il)
+    t1h, t1l = _ds_add(ilrh, ilrl, ah, al)
+    m1h, m1l = _ds_mul(t1h, t1l, fxh, fxl)
+    m2h, m2l = _ds_mul(ch, cl, fyh, fyl)
+    uh, ul = _ds_add(uh, ul, *_ds_add(m1h, m1l, m2h, m2l))
+    t2h, t2l = _ds_add(ilrh, ilrl, bh, bl)
+    m3h, m3l = _ds_mul(ch, cl, fxh, fxl)
+    m4h, m4l = _ds_mul(t2h, t2l, fyh, fyl)
+    vh, vl = _ds_add(vh, vl, *_ds_add(m3h, m3l, m4h, m4l))
+    n1h, n1l = _ds_mul(dxh, dxl, fxh, fxl)
+    n2h, n2l = _ds_mul(dyh, dyl, fyh, fyl)
+    nh, nl = _ds_add(n1h, n1l, n2h, n2l)
+    mph, mpl = _ds_mul(nh, nl, ih, il)
+    ph, pll = _ds_add(ph, pll, mph, mpl)
+    return uh, ul, vh, vl, ph, pll
 
-        z = jnp.zeros((_TT, _SB), f32)
-        ah, al = jax.lax.fori_loop(0, nsb, body, (z, z))
-        ah, al = _lane_reduce_ds(ah, al)
-        oh_ref[:, :] = ah[:, 0:1]
-        ol_ref[:, :] = al[:, 0:1]
+
+_UPDATES = {"laplace": _laplace_update, "grad": _grad_update,
+            "mh": _mh_update, "stokes": _stokes_update}
+_N_OUT = {"laplace": 2, "grad": 4, "stokes": 6, "mh": 2}
+
+
+def _make_kernel(kind, kparam, ntiles, n_q, n_out):
+    update = _UPDATES[kind]
+
+    def kernel(*refs):
+        t_refs = refs[:4]
+        s_refs = refs[4:4 + 2 * n_q]
+        o_refs = refs[4 + 2 * n_q:]
+        ns = s_refs[0].shape[0]
+        for ti in range(ntiles):
+            o = ti * _TR
+            tds = tuple(r[o:o + _TR, :] for r in t_refs)
+
+            def body(j, acc, tds=tds):
+                # lift the SMEM scalars to (1,1) vectors: Mosaic's
+                # tpu.bitcast (used by the Dekker split) rejects scalar
+                # operands, and every op broadcasts (1,1) against the
+                # (8,256) tile anyway
+                svals = tuple(
+                    (jnp.broadcast_to(s_refs[2 * m][j, 0], (1, 1)),
+                     jnp.broadcast_to(s_refs[2 * m + 1][j, 0], (1, 1)))
+                    for m in range(n_q))
+                return update(acc, tds, svals, kparam)
+
+            z = jnp.zeros((_TR, _TL), f32)
+            acc = jax.lax.fori_loop(0, ns, body, (z,) * n_out)
+            for m in range(n_out):
+                o_refs[m][o:o + _TR, :] = acc[m]
 
     return kernel
-
-
-def _stokes_kernel(txh_ref, txl_ref, tyh_ref, tyl_ref,
-                   sxh_ref, sxl_ref, syh_ref, syl_ref,
-                   fxh_ref, fxl_ref, fyh_ref, fyl_ref,
-                   uh_ref, ul_ref, vh_ref, vl_ref, ph_ref, pl_ref):
-    """Stokeslet velocity+pressure (conventions of ops/stokes_kernels.py):
-      u = sum (ilr + dx^2/r2) fx + (dx dy / r2) fy        [/ 4 pi by caller]
-      v = sum (dx dy / r2) fx + (ilr + dy^2/r2) fy
-      p = sum (dx fx + dy fy) / r2                        [/ 2 pi by caller]
-    with ilr = -log(r2)/2.  Uses dy^2/r2 = 1 - dx^2/r2 (exact identity)."""
-    txh = txh_ref[:, :]
-    txl = txl_ref[:, :]
-    tyh = tyh_ref[:, :]
-    tyl = tyl_ref[:, :]
-    nsb = sxh_ref.shape[0]
-
-    def body(j, acc):
-        uh, ul, vh, vl, ph, pll = acc
-        sxh = sxh_ref[pl.ds(j, 1), :]
-        sxl = sxl_ref[pl.ds(j, 1), :]
-        syh = syh_ref[pl.ds(j, 1), :]
-        syl = syl_ref[pl.ds(j, 1), :]
-        fxh = fxh_ref[pl.ds(j, 1), :]
-        fxl = fxl_ref[pl.ds(j, 1), :]
-        fyh = fyh_ref[pl.ds(j, 1), :]
-        fyl = fyl_ref[pl.ds(j, 1), :]
-        (dxh, dxl), (dyh, dyl), (r2h, r2l) = _pair_geometry(
-            txh, txl, tyh, tyl, sxh, sxl, syh, syl)
-        lh, ll = _log_ds(r2h, r2l)
-        ilrh, ilrl = -0.5 * lh, -0.5 * ll
-        ih, il = _ds_recip(r2h, r2l)
-        # a = dx^2/r2, b = dy^2/r2, c = dx dy / r2 (b computed directly:
-        # the 1 - a identity hits the constant-simplifier hazard, _cbar)
-        x2h, x2l = _ds_sqr(dxh, dxl)
-        ah, al = _ds_mul(x2h, x2l, ih, il)
-        y2h, y2l = _ds_sqr(dyh, dyl)
-        bh, bl = _ds_mul(y2h, y2l, ih, il)
-        xyh, xyl = _ds_mul(dxh, dxl, dyh, dyl)
-        ch, cl = _ds_mul(xyh, xyl, ih, il)
-        # u += (ilr + a) fx + c fy
-        t1h, t1l = _ds_add(ilrh, ilrl, ah, al)
-        m1h, m1l = _ds_mul(t1h, t1l, fxh, fxl)
-        m2h, m2l = _ds_mul(ch, cl, fyh, fyl)
-        uh, ul = _ds_add(uh, ul, *_ds_add(m1h, m1l, m2h, m2l))
-        # v += c fx + (ilr + b) fy
-        t2h, t2l = _ds_add(ilrh, ilrl, bh, bl)
-        m3h, m3l = _ds_mul(ch, cl, fxh, fxl)
-        m4h, m4l = _ds_mul(t2h, t2l, fyh, fyl)
-        vh, vl = _ds_add(vh, vl, *_ds_add(m3h, m3l, m4h, m4l))
-        # p += (dx fx + dy fy) / r2
-        n1h, n1l = _ds_mul(dxh, dxl, fxh, fxl)
-        n2h, n2l = _ds_mul(dyh, dyl, fyh, fyl)
-        nh, nl = _ds_add(n1h, n1l, n2h, n2l)
-        mph, mpl = _ds_mul(nh, nl, ih, il)
-        ph, pll = _ds_add(ph, pll, mph, mpl)
-        return uh, ul, vh, vl, ph, pll
-
-    z = jnp.zeros((_TT, _SB), f32)
-    uh, ul, vh, vl, ph, pll = jax.lax.fori_loop(
-        0, nsb, body, (z, z, z, z, z, z))
-    uh, ul = _lane_reduce_ds(uh, ul)
-    vh, vl = _lane_reduce_ds(vh, vl)
-    ph, pll = _lane_reduce_ds(ph, pll)
-    uh_ref[:, :] = uh[:, 0:1]
-    ul_ref[:, :] = ul[:, 0:1]
-    vh_ref[:, :] = vh[:, 0:1]
-    vl_ref[:, :] = vl[:, 0:1]
-    ph_ref[:, :] = ph[:, 0:1]
-    pl_ref[:, :] = pll[:, 0:1]
 
 
 # ---------------------------------------------------------------------------
@@ -650,71 +593,88 @@ def _from_ds(hi, lo):
     return hi.astype(jnp.float64) + lo.astype(jnp.float64)
 
 
-def _pad_targets(t, Tpad):
-    return jnp.pad(t, (0, Tpad - t.shape[0])).reshape(Tpad, 1)
+# padded sources sit here with zero charge: far from every real target so
+# r2 stays benign in every kernel (log ~ 18, K0 -> 0), exactly f32
+_FAR = 16384.0
 
 
-def _pad_sources(s, Spad, fill=0.0):
-    return jnp.pad(s, (0, Spad - s.shape[0]),
-                   constant_values=fill).reshape(Spad // _SB, _SB)
-
-
-def _target_spec():
-    return pl.BlockSpec((_TT, 1), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
-
-
-def _source_spec():
-    return pl.BlockSpec(memory_space=pltpu.VMEM)
+def _bucket_tiles(n):
+    for b in (1, 2, 4, 8):
+        if n <= b:
+            return b
+    return _MAX_TILES
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "interpret", "kparam"))
 def _dispatch(kind, interpret, sx, sy, q1, q2, tx, ty, kparam=None):
-    """Shared entry: packs ds operands, pads, runs the kernel, unpacks.
-    q2 is None for scalar kernels (laplace/grad)."""
+    """Shared entry: packs ds operands, pads, runs the kernel over
+    (target-chunk x source-chunk) tiles, unpacks.  q2 is None for the
+    scalar kernels (laplace/grad/mh)."""
     T = tx.shape[0]
     S = sx.shape[0]
-    Tpad = -(-T // _TT) * _TT
-    Spad = -(-S // _SB) * _SB
+    n_q = 3 if q2 is None else 4
+    n_out = _N_OUT[kind]
+    ntiles = _bucket_tiles(-(-T // _TILE))
+    TC = ntiles * _TILE
+    ncT = -(-T // TC)
+    rows = ntiles * _TR
+    ncS = -(-S // _SC)
+
+    def pack_t(a):
+        return jnp.pad(a, (0, ncT * TC - T)).reshape(ncT, rows, _TL)
+
     txh, txl = _to_ds(tx)
     tyh, tyl = _to_ds(ty)
+    tgt = jnp.stack([pack_t(a) for a in (txh, txl, tyh, tyl)], 1)
+
+    def pack_s(a, fill=0.0):
+        return jnp.pad(a, (0, ncS * _SC - S),
+                       constant_values=fill).reshape(ncS, _SC, 1)
+
     sxh, sxl = _to_ds(sx)
     syh, syl = _to_ds(sy)
-    tgt = [_pad_targets(a, Tpad) for a in (txh, txl, tyh, tyl)]
-    srcs = [_pad_sources(a, Spad) for a in (sxh, sxl, syh, syl)]
     qh, ql = _to_ds(q1)
-    srcs += [_pad_sources(qh, Spad), _pad_sources(ql, Spad)]
+    src_list = [pack_s(sxh, _FAR), pack_s(sxl), pack_s(syh, _FAR),
+                pack_s(syl), pack_s(qh), pack_s(ql)]
     if q2 is not None:
         q2h, q2l = _to_ds(q2)
-        srcs += [_pad_sources(q2h, Spad), _pad_sources(q2l, Spad)]
+        src_list += [pack_s(q2h), pack_s(q2l)]
+    srcs = jnp.stack(src_list, 1)          # (ncS, 2 n_q, _SC, 1)
 
-    n_out = {"laplace": 2, "grad": 4, "stokes": 6, "mh": 2}[kind]
-    if kind == "mh":
-        kernel = _make_mh_kernel(kparam)
-    else:
-        kernel = {"laplace": _laplace_kernel, "grad": _laplace_grad_kernel,
-                  "stokes": _stokes_kernel}[kind]
-    flops_per_pair = {"laplace": 300, "grad": 180, "stokes": 560,
-                      "mh": 2600}[kind]
+    kernel = _make_kernel(kind, kparam, ntiles, n_q, n_out)
     global _BARRIER
     _BARRIER = bool(interpret)   # kernel traces synchronously below
     try:
-        outs = pl.pallas_call(
-            kernel,
-            grid=(Tpad // _TT,),
-            in_specs=[_target_spec()] * 4 + [_source_spec()] * (len(srcs)),
-            out_specs=[_target_spec()] * n_out,
-            out_shape=[jax.ShapeDtypeStruct((Tpad, 1), f32)] * n_out,
-            cost_estimate=pl.CostEstimate(
-                flops=flops_per_pair * Tpad * Spad,
-                bytes_accessed=4 * (Tpad * (4 + n_out) + Spad * len(srcs)),
-                transcendentals=0),
-            interpret=interpret,
-        )(*tgt, *srcs)
+        def call(tgt4, srcrow):
+            return pl.pallas_call(
+                kernel,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+                + [pl.BlockSpec(memory_space=pltpu.SMEM)] * (2 * n_q),
+                out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_out,
+                out_shape=[jax.ShapeDtypeStruct((rows, _TL), f32)] * n_out,
+                interpret=interpret,
+            )(*tgt4, *srcrow)
+
+        def per_t(tgt4):
+            def scan_body(acc, srcrow):
+                part = jnp.stack(call(tgt4, srcrow)).astype(jnp.float64)
+                return acc + (part[0::2] + part[1::2]), None
+
+            z = jnp.zeros((n_out // 2, rows, _TL), jnp.float64)
+            if ncS == 1:
+                acc, _ = scan_body(z, srcs[0])
+            else:
+                acc, _ = jax.lax.scan(scan_body, z, srcs)
+            return acc
+
+        if ncT == 1:
+            res = per_t(tgt[0])[:, None]
+        else:
+            res = jnp.moveaxis(jax.lax.map(per_t, tgt), 0, 1)
     finally:
         _BARRIER = True
-    return [_from_ds(outs[2 * i], outs[2 * i + 1])[:, 0][:T]
-            for i in range(n_out // 2)]
+    res = res.reshape(n_out // 2, ncT * TC)[:, :T]
+    return [res[i] for i in range(n_out // 2)]
 
 
 def _default_interpret(interpret):
