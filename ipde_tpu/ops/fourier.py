@@ -353,7 +353,8 @@ def tan_rfft(x, tp: TanPlan) -> Cx:
     xt = x.T                                  # (n, m)
     m = xt.shape[1]
     if m % 2 == 1:
-        xt = jnp.concatenate([xt, jnp.zeros((n, 1), xt.dtype)], axis=1)
+        xt = jnp.concatenate([xt, jnp.zeros((xt.shape[0], 1), xt.dtype)],
+                             axis=1)
     # column-packing: one complex four-step pass transforms two real columns
     Z = _fs_fft_tp(tp, Cx(xt[:, 0::2], xt[:, 1::2]))
     zr_rev = jnp.concatenate([Z.re[:1], Z.re[:0:-1][: nk - 1]], axis=0)
@@ -584,7 +585,9 @@ class FourStepFFT1D:
         n, nk = self.n, self.n // 2 + 1
         m = x.shape[1]
         if m % 2 == 1:
-            x = jnp.concatenate([x, jnp.zeros((n, 1), x.dtype)], axis=1)
+            # x may be a prefix (nz < n rows); pad the column, not the rows
+            x = jnp.concatenate([x, jnp.zeros((x.shape[0], 1), x.dtype)],
+                                axis=1)
         Z = self.fft(Cx(x[:, 0::2], x[:, 1::2]))
         # rows of Z(-k) for k = 0..nk-1: [0, n-1, n-2, ..., n-nk+1]
         zr_rev = jnp.concatenate([Z.re[:1], Z.re[:0:-1][: nk - 1]], axis=0)

@@ -70,6 +70,23 @@ def test_rfft2_half_spectrum_matches_numpy():
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-12)
 
 
+def test_rfft2_prefix_odd_columns():
+    # regression: FourStepFFT1D.rfft_packed padded the odd-column case with
+    # a zeros((n, 1)) column, but prefix inputs have nz < n rows -- the
+    # 2048^2 Stokes bench hit exactly this ((2020, 2099) vs (6144, 1)).
+    rng = np.random.default_rng(7)
+    for (nx, ny), (nzx, nzy) in [((384, 288), (130, 99)),
+                                 ((320, 320), (101, 101)),
+                                 ((24, 32), (10, 7))]:
+        x = rng.standard_normal((nzx, nzy))
+        plan = FourierPlan2D(nx, ny, native=False)
+        xp = np.zeros((nx, ny))
+        xp[:nzx, :nzy] = x
+        ref = np.fft.fft2(xp)[: nx // 2 + 1]
+        c = plan.rfft2(jnp.asarray(x))
+        np.testing.assert_allclose(to_np(c), ref, atol=1e-11)
+
+
 def test_irfft2_real_corner_truncation():
     # regression: four-step ifft_trunc returns ceil(n_out/n1)*n1 rows; the
     # y-pass must be sliced to ny_out before the x-pass or the corner output
