@@ -69,11 +69,19 @@ def main():
     ]
     sizes = ([(4096, 1024)] if os.environ.get("SIZES") == "small"
              else [(4096, 1024), (200_000, 5400), (1_000_000, 8100)])
+    # At bench sizes the chunked XLA applies take minutes-to-hours through
+    # the tunnel (the mh K0 path in particular); PALLAS_ONLY=1 skips the
+    # XLA side entirely (accuracy is established by the small run).
+    pallas_only = bool(os.environ.get("PALLAS_ONLY"))
     for T, S in sizes:
         sx, sy, q, tx, ty = cloud(T, S)
         print(f"T={T} S={S}", flush=True)
         for name, fx, fp, extra in cases:
             try:
+                if pallas_only:
+                    t_p = timeit(fp, sx, sy, q, tx, ty, *extra)
+                    print(f"  {name:8s} pallas {t_p:8.1f} ms", flush=True)
+                    continue
                 a = fx(sx, sy, q, tx, ty, *extra)
                 b = fp(sx, sy, q, tx, ty, *extra)
                 print(f"  {name:8s} agree={flat_err(a, b):.2e}", flush=True)
@@ -85,6 +93,10 @@ def main():
                 print(f"  {name} FAILED: {type(e).__name__}: "
                       f"{str(e)[:300]}", flush=True)
         try:
+            if pallas_only:
+                t_p = timeit(pds.stokes_slp_apply, sx, sy, q, q[::-1], tx, ty)
+                print(f"  stokes   pallas {t_p:8.1f} ms", flush=True)
+                continue
             a = SK.stokes_slp_apply(sx, sy, q, q[::-1], tx, ty)
             b = pds.stokes_slp_apply(sx, sy, q, q[::-1], tx, ty)
             print(f"  stokes   agree={flat_err(a, b):.2e}", flush=True)
