@@ -460,8 +460,15 @@ def make_interpolator(nx: int, ny: int, tx, ty, x_offset: float = 0.0,
     T = np.asarray(tx).size
     exact_flops = T * nx * ny
     nufft_flops = 40 * (2 * nx) * (2 * ny) * (np.log2(max(nx * ny, 2)))
+    # The exact path materializes (T, max(nx, ny)) temps per field and per
+    # re/im product -- at 2048^2 grids with thousands of interface targets
+    # that is GBs of HLO temp (measured: a 1.32 GB broadcast OOMed the
+    # 2048^2 Stokes step on a 16 GB chip).  Bound the intermediate size,
+    # not just the flops.
+    exact_mem_ok = T * max(nx, ny) <= 2 ** 21
     if (nx * ny <= exact_max_modes
-            or (T <= exact_max_targets and exact_flops < nufft_flops)):
+            or (T <= exact_max_targets and exact_flops < nufft_flops
+                and exact_mem_ok)):
         return ExactInterp2D(nx, ny, tx, ty, x_offset, y_offset)
     if nx <= 64:
         # radial (2M-row) mode grids: exact-in-x + row-gather NUFFT-in-y

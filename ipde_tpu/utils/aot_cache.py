@@ -42,6 +42,10 @@ def _key(tag: str, args) -> str:
     import numpy as np
     parts = [tag, jax.__version__, jax.default_backend(),
              jax.devices()[0].device_kind, _git_head()]
+    # env flags that change the traced program at identical shapes
+    for flag in ("IPDE_PALLAS", "IPDE_PRECOND_F32", "IPDE_NATIVE_FFT",
+                 "IPDE_NO_STRATIFIED"):
+        parts.append(f"{flag}={os.environ.get(flag, '')}")
     for leaf in jax.tree_util.tree_leaves(args):
         parts.append(f"{np.shape(leaf)}:{np.asarray(leaf).dtype}")
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:24]
