@@ -85,10 +85,11 @@ def main(pde_override=None):
 
         def step(f_grid, f_radial):
             fue = EmbeddedFunction(f_grid, [f_radial])
-            (u, v, p), _ = solver.solve_with_stats(fue, fv, tol=1e-12,
-                                                   maxiter=100, restart=30)
+            (u, v, p), stats = solver.solve_with_stats(fue, fv, tol=1e-12,
+                                                       maxiter=100,
+                                                       restart=30)
             u, v, p = bie.apply_bc(u, v, p, bc_u, bc_v)
-            return u.grid, u.radials[0]
+            return u.grid, u.radials[0], stats
 
         metric = "interior_stokes_solve_ms"
     else:
@@ -103,9 +104,10 @@ def main(pde_override=None):
 
         def step(f_grid, f_radial):
             ef = EmbeddedFunction(f_grid, [f_radial])
-            ue = bie.apply_bc(solver(ef, tol=1e-12, maxiter=100, restart=30),
-                              bc)
-            return ue.grid, ue.radials[0]
+            ue, stats = solver.solve_with_stats(ef, tol=1e-12, maxiter=100,
+                                                restart=30)
+            ue = bie.apply_bc(ue, bc)
+            return ue.grid, ue.radials[0], stats
 
         metric = "interior_poisson_solve_ms"
 
@@ -147,12 +149,21 @@ def main(pde_override=None):
     ms = float(max(np.median(times), 1e-6) * 1e3)
 
     # accuracy guard (reported to stderr, not the metric line)
-    ue_grid, ue_rad = out
+    ue_grid, ue_rad, stats = out
     ge = float(np.abs(np.asarray(ue_grid) - np.asarray(ua.grid))
                [np.asarray(ebdyc.phys)].max())
     re = float(np.abs(np.asarray(ue_rad) - np.asarray(ua.radials[0])).max())
     err = max(ge, re)
-    print(f"# max err {err:.2e}", file=sys.stderr)
+    print(f"# max err {err:.2e} (grid {ge:.2e}, radial {re:.2e})",
+          file=sys.stderr)
+    try:
+        its = np.asarray(stats["annular_iterations"]).ravel()
+        res = np.asarray(stats["annular_residuals"]).ravel()
+        print(f"# annular iterations {its.tolist()} "
+              f"final residual {float(np.abs(res).max()):.2e}",
+              file=sys.stderr)
+    except Exception as exc:
+        print(f"# (stats unavailable: {exc})", file=sys.stderr)
 
     dof = int(ebdyc.phys.sum() + sum(np.prod(e.radial_shape) for e in ebdyc))
     # reference CPU record: 891 ms inhomogeneous Poisson at 309k dof

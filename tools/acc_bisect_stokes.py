@@ -55,6 +55,15 @@ def main():
     t0 = time.time()
     bdy = star(nb, a=0.2, f=5)
     bh = min(bdy.min_h(), 0.6 / np.abs(bdy.curvature).max() / M)
+    # mirror bench.py's grid sizing so failures reproduce at the north-star
+    # resolution (BENCH_GRID=0 keeps the boundary-derived h)
+    if os.environ.get("BENCH_BH"):
+        bh = min(bh, float(os.environ["BENCH_BH"]))
+    else:
+        tg = int(os.environ.get("BENCH_GRID", 0))
+        if tg:
+            extent = float(bdy.x.max() - bdy.x.min())
+            bh = min(bh, extent / (tg - 3 * M))
     ebdy = EmbeddedBoundary(bdy, True, M, bh, qfs_tolerance=1e-14)
     ebdyc = EmbeddedBoundaryCollection([ebdy])
     grid = ebdyc.generate_grid(bh)
