@@ -28,6 +28,7 @@ validated against LAPACK in tests/test_device_linalg.py.
 
 from __future__ import annotations
 
+import os
 from typing import List, Sequence, Tuple
 
 import jax
@@ -58,8 +59,29 @@ def _exact_mm_scan(A, B):
 
 
 def exact_mm(A, B):
+    """Accurate A @ B on any backend.
+
+    TPU: Ozaki error-free bf16-slice GEMM (ops/ozaki.py) -- MXU speed and
+    ~1e-13-scale error where the emulated-f64 dot_general is erratically
+    wrong at 2^-24 (measured 6.5e-7 QFS residual, tools/qfs_decompose.py).
+    IPDE_OZAKI=0 forces the column-scan multiply+reduce (A/B debugging
+    knob; exact but streams A once per output column)."""
+    dbg = os.environ.get("IPDE_MM_DEBUG")
     if jax.default_backend() != "tpu":
+        if dbg:
+            print(f"  exact_mm: _mm (backend={jax.default_backend()})",
+                  flush=True)
         return _mm(A, B)
+    A = jnp.asarray(A)
+    B = jnp.asarray(B)
+    if (A.ndim == 2 and B.ndim == 2
+            and os.environ.get("IPDE_OZAKI", "1") != "0"):
+        from ipde_tpu.ops.ozaki import ozaki_mm
+        if dbg:
+            print(f"  exact_mm: ozaki {A.shape}x{B.shape}", flush=True)
+        return ozaki_mm(A, B)
+    if dbg:
+        print(f"  exact_mm: scan {A.shape}x{B.shape}", flush=True)
     return _exact_mm_scan(A, B)
 
 
@@ -131,14 +153,18 @@ def cholesky_blocked(G, block: int = BLOCK) -> CholFactor:
         dLikk = jnp.asarray(Likk)
         diag_invs.append(dLikk)
         pan = jax.lax.dynamic_slice(work, (jnp.int32(0), j0), (npad, block))
-        Lp = _mm(pan, dLikk.T)
+        # exact panel/Schur products: plain-dot noise here lands IN the
+        # factor, so the refinement preconditioner quality degrades from
+        # cond(G) 2^-48 to cond(G) 2^-24 -- divergent for the cond ~ 1e9
+        # QFS Gram systems (measured: dd-compose stuck at 1e-5).
+        Lp = exact_mm(pan, dLikk.T)
         below = (ridx >= (kb + 1) * block)[:, None]
         Lbelow = jnp.where(below, Lp, 0.0)
         col = jax.lax.dynamic_update_slice(Lbelow, jnp.asarray(Lkk),
                                            (j0, jnp.int32(0)))
         L = jax.lax.dynamic_update_slice(L, col, (jnp.int32(0), j0))
         if kb + 1 < nblk:
-            work = work - _mm(Lbelow, Lbelow.T)
+            work = work - exact_mm(Lbelow, Lbelow.T)
     return CholFactor(L, diag_invs, n, block)
 
 
@@ -162,10 +188,10 @@ def solve_lower(F: CholFactor, Bmat):
         j0 = jnp.int32(kb * block)
         Lrow = jax.lax.dynamic_slice(L, (j0, jnp.int32(0)), (block, npad))
         Lrow = jnp.where(cidx < j0, Lrow, 0.0)
-        acc = _mm(Lrow, X)
+        acc = exact_mm(Lrow, X)
         Xkb = jax.lax.dynamic_slice(X, (j0, jnp.int32(0)),
                                     (block, X.shape[1]))
-        Xkb = _mm(F.diag_invs[kb], Xkb - acc)
+        Xkb = exact_mm(F.diag_invs[kb], Xkb - acc)
         X = jax.lax.dynamic_update_slice(X, Xkb, (j0, jnp.int32(0)))
         if kb % 4 == 3:
             _sync(X)
@@ -184,10 +210,10 @@ def solve_lower_t(F: CholFactor, Bmat):
         # columns >= (kb+1) block
         Lcol = jax.lax.dynamic_slice(L, (jnp.int32(0), j0), (npad, block))
         LrowT = jnp.where(cidx >= (kb + 1) * block, Lcol.T, 0.0)
-        acc = _mm(LrowT, X)
+        acc = exact_mm(LrowT, X)
         Xkb = jax.lax.dynamic_slice(X, (j0, jnp.int32(0)),
                                     (block, X.shape[1]))
-        Xkb = _mm(F.diag_invs[kb].T, Xkb - acc)
+        Xkb = exact_mm(F.diag_invs[kb].T, Xkb - acc)
         X = jax.lax.dynamic_update_slice(X, Xkb, (j0, jnp.int32(0)))
         if kb % 4 == 3:
             _sync(X)
@@ -297,40 +323,95 @@ def lu_inverse_blocked(A, block: int = BLOCK):
 
 def minnorm_compose(A, forms: Sequence, lam_rel: float = 0.0,
                     refine: int = 1, block: int = BLOCK):
-    """Maps M_i = A^+ F_i for a WIDE full-row-rank system A (m, n) via the
-    min-norm normal equations  A^+ = A^T (A A^T)^{-1}  with device-blocked
-    Cholesky, plus optional iterative refinement of each map:
+    """Maps M_i = A^+ F_i for a WIDE full-row-rank system A (m, n) via
+    CholeskyQR2 min-norm on the device.
 
-        R = F - A M;   M += A^T G^{-1} R
+    With A^T = Q R (Q n x m orthonormal columns, R m x m upper),
+    A^+ = Q R^{-T}, so  M = Q L_tot^{-1} F  with L_tot = R^T lower.
+    CholeskyQR computes R from the blocked Cholesky of G = A A^T and
+    Q^T = L^{-1} A by a blocked forward solve; a second pass on Q^T
+    re-orthonormalizes (CholeskyQR2), making the factorization backward
+    stable: the map residual is ~ u sigma_max |M| INDEPENDENT of cond(G).
 
-    which cancels the first-order factorization/roundoff error (residuals
-    are computed in working f64 on operands of ORIGINAL scale, so the
-    correction is accurate where it matters).
+    Why not normal equations + iterative refinement: the production QFS
+    systems reach cond(G) ~ 4e13 (measured, tools/qfs_decompose.py +
+    spectrum analysis) with genuine form content in the near-null
+    directions, so refinement against G diverges there and its noise
+    contaminates every direction (residual stuck at 1e-2-scale).  The
+    plain-dot path only appeared to work because its erratic 2^-24 error
+    acted as accidental Tikhonov damping (~3e-7 floors).  CholeskyQR2
+    needs cond(G) u < 1: with exact (Ozaki) products u ~ 2^-48 and
+    cond(G) 4e13 gives 0.15 -- inside; the shifted retry below covers
+    harder geometries (classic shifted CholeskyQR3).
 
-    The role of LAPACK ``gelsy`` truncation at rcond=1e-15 is played by the
-    min-norm structure itself: QFS systems here are graded to cond(A) ~
-    1e3..1e5 (source shift 1.5 spacings), so G = A A^T has cond <= 1e10,
-    comfortably inside f64 Cholesky territory.  lam_rel > 0 adds Tikhonov
-    damping lam_rel * mean(diag G) for harder geometries.
+    lam_rel > 0 adds explicit Tikhonov damping lam_rel * mean(diag G) on
+    TOP of the structural stability (biases the map; off by default).
+    ``refine`` residual-correction passes run on each map (measured on
+    the production Stokes QFS system at nb=2700: matrix residual 3.0e-7
+    after the direct solve, 2.0e-9 after one pass -- eta ~ 6.7e-3 per
+    pass from the ds-f64 triangular-solve roundoff at map norm ~ 1e5).
 
     A and forms may be numpy or device arrays; returns device maps (n, m).
     """
     A = jnp.asarray(A)
     At = A.T.copy()     # materialize ONCE (each eager _mm(A.T, .) would
                         # re-materialize the transpose as a fresh buffer)
-    G = _mm(A, At)
+    G = exact_mm(A, At)
+    m = G.shape[0]
     if lam_rel:
-        m = G.shape[0]
         lam = lam_rel * float(jnp.trace(G) / m)
         G = G + lam * jnp.eye(m, dtype=G.dtype)
-    F = cholesky_blocked(G, block=block)
+    def _chol_shifted(Gm):
+        """Blocked Cholesky with shifted retries (shifted CholeskyQR:
+        jitter by multiples of u |G|; later passes remove the shift's
+        effect on Q).  Returns (factor, shifted?)."""
+        shift = 0.0
+        for _ in range(6):
+            try:
+                return cholesky_blocked(Gm, block=block), bool(shift)
+            except np.linalg.LinAlgError:
+                shift = (shift or 1e-13 * float(jnp.trace(Gm)
+                                                / Gm.shape[0])) * 100.0
+                Gm = Gm + shift * jnp.eye(Gm.shape[0], dtype=Gm.dtype)
+        raise np.linalg.LinAlgError("minnorm_compose: Gram not PD")
+
+    F1, _ = _chol_shifted(G)
     del G
+    # Q^T = L1^{-1} A  (m x n, padded rows clipped by spd-style slicing)
+    QT = solve_lower(F1, A)[:m]
+    # CholeskyQR2: re-orthonormalize Q^T rows
+    F2, shifted2 = _chol_shifted(exact_mm(QT, QT.T))
+    QT = solve_lower(F2, QT)[:m]
+    factors = [F1, F2]
+    if shifted2:
+        # pass 2 was itself shifted (cond beyond the QR2 envelope):
+        # one more pass restores orthonormality (shifted CholeskyQR3)
+        F3, _ = _chol_shifted(exact_mm(QT, QT.T))
+        QT = solve_lower(F3, QT)[:m]
+        factors.append(F3)
+    Q = _sync(QT.T.copy())
+    dbg = os.environ.get("IPDE_COMPOSE_DEBUG")
+
+    def ltot_solve(Bmat):
+        # L_tot = L1 L2 (L3) (R_tot = R3 R2 R1): successive forward solves
+        X = Bmat
+        for Fk in factors:
+            X = solve_lower(Fk, X)[:m]
+        return X
+
     maps = []
     for Bf in forms:
         Bf = jnp.asarray(Bf)
-        M = _mm(At, spd_solve(F, Bf))
-        for _ in range(refine):
+        M = exact_mm(Q, ltot_solve(Bf))
+        for it in range(refine):
             R = Bf - exact_mm(A, _sync(M))
-            M = M + _mm(At, spd_solve(F, R))
+            if dbg:
+                print(f"  compose refine {it}: |R|_inf = "
+                      f"{float(jnp.max(jnp.abs(R))):.3e}", flush=True)
+            M = M + exact_mm(Q, ltot_solve(R))
+        if dbg:
+            R = Bf - exact_mm(A, _sync(M))
+            print(f"  compose final : |R|_inf = "
+                  f"{float(jnp.max(jnp.abs(R))):.3e}", flush=True)
         maps.append(_sync(M))
     return maps

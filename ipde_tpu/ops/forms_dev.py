@@ -245,18 +245,25 @@ def rule36_circulant_dev(n: int):
 
 
 def filter_rows_dev(Bmat, ncurve: int):
-    """rule-36 filter applied to each ncurve-row component block: F @ B."""
+    """rule-36 filter applied to each ncurve-row component block: F @ B.
+
+    exact_mm: these products feed the stored QFS maps; the emulated-f64
+    dot_general's erratic 2^-24 error on kernel-matrix operands would
+    floor every downstream solve (tools/qfs_decompose.py)."""
+    from ipde_tpu.ops.device_linalg import exact_mm
     F = rule36_circulant_dev(ncurve)
     nblocks = Bmat.shape[0] // ncurve
-    rows = [jnp.matmul(F, Bmat[c * ncurve:(c + 1) * ncurve],
-                       precision=_HIGH) for c in range(nblocks)]
+    rows = [exact_mm(F, Bmat[c * ncurve:(c + 1) * ncurve])
+            for c in range(nblocks)]
     return jnp.concatenate(rows, axis=0) if nblocks > 1 else rows[0]
 
 
 def filter_cols_dev(Mmat, ncurve: int):
-    """M @ F per component block (F symmetric)."""
+    """M @ F per component block (F symmetric; exact_mm as in
+    filter_rows_dev)."""
+    from ipde_tpu.ops.device_linalg import exact_mm
     F = rule36_circulant_dev(ncurve)
     nblocks = Mmat.shape[1] // ncurve
-    cols = [jnp.matmul(Mmat[:, c * ncurve:(c + 1) * ncurve], F,
-                       precision=_HIGH) for c in range(nblocks)]
+    cols = [exact_mm(Mmat[:, c * ncurve:(c + 1) * ncurve], F)
+            for c in range(nblocks)]
     return jnp.concatenate(cols, axis=1) if nblocks > 1 else cols[0]

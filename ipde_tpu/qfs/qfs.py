@@ -153,9 +153,13 @@ class QFSEvaluator:
             S, N = source.N, curve.N
             ncomp = A.shape[1] // S
             if S > N and not os.environ.get("IPDE_QFS_NOCOMPRESS"):
+                from ipde_tpu.ops.device_linalg import exact_mm
                 U = resample_dev(N, S)
+                # exact product: A IS a kernel matrix, the emulated-f64
+                # dot_general's erratic 2^-24 error would bake into every
+                # downstream map (tools/qfs_decompose.py)
                 A = jnp.concatenate(
-                    [jnp.matmul(A[:, c * S:(c + 1) * S], U, precision=_HIGH)
+                    [exact_mm(A[:, c * S:(c + 1) * S], U)
                      for c in range(ncomp)], axis=1)
                 self.up = U
             else:
@@ -165,6 +169,12 @@ class QFSEvaluator:
             if build_u2s:
                 eye = jnp.eye(A.shape[0], dtype=A.dtype)
                 comps.append(filter_cols_dev(eye, curve.N))
+            if os.environ.get("IPDE_QFS_SAVE"):
+                # offline conditioning studies (tools/compose_probe.py)
+                import numpy as _np
+                pre = os.environ["IPDE_QFS_SAVE"]
+                _np.save(pre + "_A.npy", _np.asarray(A))
+                _np.save(pre + "_B0.npy", _np.asarray(comps[0]))
             maps = minnorm_compose(
                 A, comps,
                 refine=int(os.environ.get("IPDE_QFS_REFINE", "2")))

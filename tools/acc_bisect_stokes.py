@@ -42,6 +42,8 @@ def host_stokes_slp(sx, sy, wfx, wfy, tx, ty, chunk=2048):
 def main():
     import jax
     jax.config.update("jax_enable_x64", True)
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     import jax.numpy as jnp
     from ipde_tpu.geometry.collection import EmbeddedBoundaryCollection
     from ipde_tpu.geometry.curve import star
@@ -114,6 +116,11 @@ def main():
             xi_host = xi_dev
     if not {"ge", "strat"} & set(sections):
         return
+    if xi_host is None:
+        # evaluator-only run: any smooth source density works for the A/B
+        ts = np.asarray(src.t)
+        xi_host = np.concatenate([np.sin(2 * ts) + 0.3 * np.cos(5 * ts),
+                                  np.cos(3 * ts) - 0.2 * np.sin(4 * ts)])
 
     # grid evaluator vs host direct at a subset of physical points
     from ipde_tpu.ops.grid_eval import StokesFreespaceGridEvaluator
