@@ -4,14 +4,17 @@ compilation cache hangs on this system).
 
 `maybe_aot(jfn, args, tag)` returns a compiled callable: on a cache hit
 it deserializes a previously compiled executable (sub-second) instead of
-recompiling; on a miss it compiles, stores, and returns.  Enabled by
-setting IPDE_AOT_CACHE=<dir>; off otherwise (returns jfn unchanged).
+recompiling; on a miss it compiles, stores, and returns.  Default cache
+directory is /tmp/ipde_aot_cache; override with IPDE_AOT_CACHE=<dir> or
+disable with IPDE_AOT_CACHE=0.
 
-Cache key = (tag, jax/jaxlib versions, backend + device kind, git HEAD,
-abstract shapes/dtypes of args).  Including the commit hash makes stale
-hits across code changes impossible at the cost of cold caches after
-every commit -- the right trade for a benchmark/experiment loop where
-one shape is rerun many times per revision.
+Cache key = (tag, jax/jaxlib versions, backend + device kind, a content
+hash of every tracked Python source in the package, abstract
+shapes/dtypes of args).  Hashing the SOURCES (not the git commit) makes
+stale hits across code changes impossible while keeping the cache warm
+across doc-only commits and dirty worktrees -- the right trade for a
+benchmark/experiment loop where one shape is rerun many times per
+revision.
 
 Reference analogue: none (the reference pays scipy/numba warmup per
 process); this is TPU-tunnel-specific infrastructure.
@@ -22,26 +25,47 @@ from __future__ import annotations
 import hashlib
 import os
 import pickle
-import subprocess
 import time
 
 
-def _git_head() -> str:
-    try:
-        return subprocess.run(
-            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
-            cwd=os.path.dirname(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__)))), timeout=10,
-        ).stdout.strip() or "nogit"
-    except Exception:
-        return "nogit"
+_SRC_HASH = None
+
+
+def _src_hash() -> str:
+    """Content hash of every Python source the traced program can depend
+    on (the package tree + the repo-root entry scripts).  Computed once
+    per process."""
+    global _SRC_HASH
+    if _SRC_HASH is not None:
+        return _SRC_HASH
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.dirname(pkg)
+    h = hashlib.sha256()
+    paths = []
+    for base in (pkg,):
+        for dirpath, _, names in os.walk(base):
+            paths.extend(os.path.join(dirpath, n) for n in names
+                         if n.endswith(".py"))
+    for extra in ("bench.py", "__graft_entry__.py"):
+        p = os.path.join(root, extra)
+        if os.path.exists(p):
+            paths.append(p)
+    for p in sorted(paths):
+        h.update(p.encode())
+        try:
+            with open(p, "rb") as fh:
+                h.update(fh.read())
+        except OSError:
+            pass
+    _SRC_HASH = h.hexdigest()[:16]
+    return _SRC_HASH
 
 
 def _key(tag: str, args) -> str:
     import jax
     import numpy as np
     parts = [tag, jax.__version__, jax.default_backend(),
-             jax.devices()[0].device_kind, _git_head()]
+             jax.devices()[0].device_kind, _src_hash()]
     # env flags that change the traced program at identical shapes
     for flag in ("IPDE_PALLAS", "IPDE_PRECOND_F32", "IPDE_NATIVE_FFT",
                  "IPDE_NO_STRATIFIED"):
@@ -55,8 +79,8 @@ def maybe_aot(jfn, args, tag: str, verbose: bool = True):
     """Wrap a jitted OR planified function with the executable disk cache
     (see module docstring).  `args` must be example arguments with the
     production shapes; the returned callable accepts the same tree."""
-    cache_dir = os.environ.get("IPDE_AOT_CACHE", "")
-    if not cache_dir:
+    cache_dir = os.environ.get("IPDE_AOT_CACHE", "/tmp/ipde_aot_cache")
+    if cache_dir in ("", "0", "off"):
         return jfn
     import jax
     if jax.device_count() > 1:
