@@ -98,11 +98,16 @@ def kernel_matvec(A, q):
 
 def use_pallas() -> bool:
     """Route dense applies through the fused double-single Pallas kernels
-    (ops/pallas_ds.py).  IPDE_PALLAS=1 enables them (Mosaic-compiled on
-    TPU, interpret mode elsewhere -- the latter is for integration
-    testing, not speed); default off pending hardware validation."""
+    (ops/pallas_ds.py).  Hardware-validated 2026-08-19 (tools/pallas_probe.py:
+    agreement with the XLA-f64 path 6e-16 across all four kernels, large
+    speedups), so the default is ON when running on TPU; IPDE_PALLAS=0
+    forces the XLA path, IPDE_PALLAS=1 forces Pallas everywhere (interpret
+    mode off-TPU -- integration testing, not speed)."""
     import os
-    return os.environ.get("IPDE_PALLAS", "") == "1"
+    flag = os.environ.get("IPDE_PALLAS", "")
+    if flag in ("0", "off"):
+        return False
+    return flag == "1" or jax.default_backend() == "tpu"
 
 
 def laplace_slp_apply(sx, sy, weighted_charge, tx, ty):
