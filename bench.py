@@ -1,12 +1,22 @@
-"""Benchmark: full interior STOKES solve (the north-star metric:
-BASELINE.md targets 2048^2 Stokes; default here is the ~1M-dof
-configuration nb=2700, M=20 at <=1e-10 max err) on one chip.
-BENCH_PDE=poisson selects the scalar flagship path instead.
+"""Benchmark: full interior STOKES solve on one chip, TIERED so a metric
+line is ALWAYS emitted (VERDICT r3 item 1: a bench that can time out
+without first printing a smaller-size number is a broken bench).
 
-Prints ONE JSON line:
+Tier 1 runs a guaranteed-completable ~250k-dof configuration (nb=1200,
+M=16, 1024^2-class grid) and prints its JSON line IMMEDIATELY; tier 2
+then attempts the 2048^2 north star (BASELINE.md:27; nb=2700, M=20)
+under a self-imposed wall-clock budget (BENCH_BUDGET_S, default 3000 s)
+and prints an updated line if it finishes.  The driver's parse therefore
+always sees a real TPU number, whatever happens to the big run.
+
+Setting any of BENCH_NB / BENCH_M / BENCH_GRID / BENCH_BH pins a single
+explicit configuration instead (used by tools/ and tpu_checklist.sh).
+BENCH_PDE=poisson selects the scalar flagship path.
+
+Each metric line:
   {"metric": "interior_stokes_solve_ms", "value": ..., "unit": "ms",
    "vs_baseline": ...}
-plus phase breakdown keys (setup_s, compile_s, err, dof, grid).
+plus phase breakdown keys (setup_s, compile_s, err, dof, grid, tier).
 
 Baseline: the reference's CPU record for the inhomogeneous Poisson solve,
 891 ms at 309k dof and 3026 ms at 955k dof (reference:
@@ -25,8 +35,12 @@ import time
 
 import numpy as np
 
+_T_START = time.time()
 
-def main(pde_override=None):
+
+def run_config(nb, M, grid_target, pde, tier):
+    """Build geometry + solver at one configuration, time the jitted
+    solve, and print one JSON metric line.  Returns the parsed record."""
     import jax
     jax.config.update("jax_enable_x64", True)
     # BENCH_PLATFORM=cpu pins the CPU backend for local smoke tests (the
@@ -44,23 +58,17 @@ def main(pde_override=None):
     from ipde_tpu.solvers.scalar import PoissonSolver
     from ipde_tpu.utils.planify import planified
 
-    nb = int(os.environ.get("BENCH_NB", 2700))
-    M = int(os.environ.get("BENCH_M", 20))
-    pde = pde_override or os.environ.get("BENCH_PDE", "stokes")
-
     t0 = time.time()
     bdy = star(nb, a=0.2, f=5)
     bh = min(bdy.min_h(), 0.6 / np.abs(bdy.curvature).max() / M)
     # BENCH_BH forces a finer grid than the boundary requires; otherwise
-    # BENCH_GRID (default 2048: the BASELINE.md:27 north-star) sizes h so
-    # the auto-generated box lands on a BENCH_GRID^2-class grid
+    # grid_target sizes h so the auto-generated box lands on a
+    # grid_target^2-class grid
     if os.environ.get("BENCH_BH"):
         bh = min(bh, float(os.environ["BENCH_BH"]))
-    else:
-        tg = int(os.environ.get("BENCH_GRID", 2048))
-        if tg:
-            extent = float(bdy.x.max() - bdy.x.min())
-            bh = min(bh, extent / (tg - 3 * M))
+    elif grid_target:
+        extent = float(bdy.x.max() - bdy.x.min())
+        bh = min(bh, extent / (grid_target - 3 * M))
     ebdy = EmbeddedBoundary(bdy, True, M, bh, qfs_tolerance=1e-14)
     ebdyc = EmbeddedBoundaryCollection([ebdy])
     grid = ebdyc.generate_grid(bh)
@@ -112,12 +120,14 @@ def main(pde_override=None):
         metric = "interior_poisson_solve_ms"
 
     setup_s = time.time() - t0
-    print(f"# setup {setup_s:.1f}s grid={grid.shape} pde={pde} "
-          f"backend={jax.default_backend()}", file=sys.stderr)
+    print(f"# [{tier}] setup {setup_s:.1f}s grid={grid.shape} pde={pde} "
+          f"nb={nb} M={M} backend={jax.default_backend()}", file=sys.stderr,
+          flush=True)
 
     jstep = planified(step, solver, bie)
-    # optional executable disk cache (IPDE_AOT_CACHE=<dir>): reruns of the
-    # same shape skip the ~150 s tunnel compile (utils/aot_cache.py)
+    # executable disk cache (default ON at a per-user tempdir path;
+    # IPDE_AOT_CACHE=<dir> overrides, =0 disables): reruns of the same
+    # shape skip the ~150 s tunnel compile (utils/aot_cache.py)
     from ipde_tpu.utils.aot_cache import maybe_aot
     jstep = maybe_aot(jstep, (f.grid, f.radials[0]), f"bench-{pde}-{nb}-{M}")
 
@@ -135,11 +145,12 @@ def main(pde_override=None):
     for _ in range(5):
         _ = float(tiny(jnp.asarray(0.0)))
     latency = (time.time() - t0) / 5
-    print(f"# host round-trip latency {latency*1e3:.1f} ms", file=sys.stderr)
+    print(f"# host round-trip latency {latency*1e3:.1f} ms", file=sys.stderr,
+          flush=True)
     t0 = time.time()
     out = run_once()
     compile_s = time.time() - t0
-    print(f"# compile+first run {compile_s:.1f}s", file=sys.stderr)
+    print(f"# compile+first run {compile_s:.1f}s", file=sys.stderr, flush=True)
 
     times = []
     for _ in range(3):
@@ -155,15 +166,15 @@ def main(pde_override=None):
     re = float(np.abs(np.asarray(ue_rad) - np.asarray(ua.radials[0])).max())
     err = max(ge, re)
     print(f"# max err {err:.2e} (grid {ge:.2e}, radial {re:.2e})",
-          file=sys.stderr)
+          file=sys.stderr, flush=True)
     try:
         its = np.asarray(stats["annular_iterations"]).ravel()
         res = np.asarray(stats["annular_residuals"]).ravel()
         print(f"# annular iterations {its.tolist()} "
               f"final residual {float(np.abs(res).max()):.2e}",
-              file=sys.stderr)
+              file=sys.stderr, flush=True)
     except Exception as exc:
-        print(f"# (stats unavailable: {exc})", file=sys.stderr)
+        print(f"# (stats unavailable: {exc})", file=sys.stderr, flush=True)
 
     dof = int(ebdyc.phys.sum() + sum(np.prod(e.radial_shape) for e in ebdyc))
     # reference CPU record: 891 ms inhomogeneous Poisson at 309k dof
@@ -171,7 +182,7 @@ def main(pde_override=None):
     # reference strictly MORE per iteration (BASELINE.md), so the same
     # per-dof scaling is a conservative baseline for the Stokes metric.
     baseline_ms = 891.0 * (dof / 309000.0)
-    print(json.dumps({
+    rec = {
         "metric": metric,
         "value": round(ms, 3),
         "unit": "ms",
@@ -181,7 +192,23 @@ def main(pde_override=None):
         "err": float(f"{err:.3e}"),
         "dof": dof,
         "grid": list(grid.shape),
-    }))
+        "tier": tier,
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def run_config_with_fallback(nb, M, grid_target, pde, tier):
+    """Never leave a tier without a metric: if the Stokes path raises,
+    fall back to the scalar flagship path at the same size."""
+    try:
+        return run_config(nb, M, grid_target, pde, tier)
+    except Exception as e:              # pragma: no cover - driver resilience
+        print(f"# [{tier}] {pde} bench failed ({type(e).__name__}: {e}); "
+              f"falling back to poisson", file=sys.stderr, flush=True)
+        if pde == "poisson":
+            raise
+        return run_config(nb, M, grid_target, "poisson", tier)
 
 
 def _device_alive(timeout_s: int = 900) -> bool:
@@ -203,6 +230,37 @@ def _device_alive(timeout_s: int = 900) -> bool:
         return False
 
 
+def main():
+    pde = os.environ.get("BENCH_PDE", "stokes")
+    pinned = any(os.environ.get(k) for k in
+                 ("BENCH_NB", "BENCH_M", "BENCH_GRID", "BENCH_BH"))
+    if pinned:
+        nb = int(os.environ.get("BENCH_NB", 2700))
+        M = int(os.environ.get("BENCH_M", 20))
+        grid_target = int(os.environ.get("BENCH_GRID", 2048))
+        run_config_with_fallback(nb, M, grid_target, pde, "pinned")
+        return
+
+    budget = float(os.environ.get("BENCH_BUDGET_S", 3000))
+    # tier 1: guaranteed-completable (r04 hardware: setup+compile+solve
+    # well under the driver budget at this size), metric printed at once
+    run_config_with_fallback(1200, 16, 1024, pde, "tier1")
+
+    # tier 2: the 2048^2 north star, only with comfortable headroom --
+    # the tier-1 line already banked a real number, so a driver kill
+    # mid-tier-2 loses nothing
+    elapsed = time.time() - _T_START
+    if elapsed > budget * 0.45:
+        print(f"# tier2 skipped: {elapsed:.0f}s elapsed of {budget:.0f}s "
+              f"budget", file=sys.stderr, flush=True)
+        return
+    try:
+        run_config(2700, 20, 2048, pde, "tier2")
+    except Exception as e:              # pragma: no cover
+        print(f"# tier2 failed ({type(e).__name__}: {e}); tier1 metric "
+              f"stands", file=sys.stderr, flush=True)
+
+
 if __name__ == "__main__":
     if not _device_alive():
         print("# device liveness probe failed (wedged tunnel?); no timing "
@@ -211,11 +269,4 @@ if __name__ == "__main__":
                           "unit": "ms", "vs_baseline": None,
                           "error": "tpu tunnel unavailable"}))
         sys.exit(0)
-    try:
-        main()
-    except Exception as e:          # pragma: no cover - driver resilience
-        # never leave the driver without a metric: fall back to the scalar
-        # flagship path at the same size
-        print(f"# stokes bench failed ({type(e).__name__}: {e}); "
-              f"falling back to poisson", file=sys.stderr)
-        main(pde_override="poisson")
+    main()

@@ -104,10 +104,11 @@ def use_pallas() -> bool:
     forces the XLA path, IPDE_PALLAS=1 forces Pallas everywhere (interpret
     mode off-TPU -- integration testing, not speed)."""
     import os
-    flag = os.environ.get("IPDE_PALLAS", "")
-    if flag in ("0", "off"):
+    flag = os.environ.get("IPDE_PALLAS", "").strip().lower()
+    if flag in ("0", "off", "false", "no"):
         return False
-    return flag == "1" or jax.default_backend() == "tpu"
+    # any other non-empty value ("1", "on", "true", ...) forces Pallas on
+    return bool(flag) or jax.default_backend() == "tpu"
 
 
 def laplace_slp_apply(sx, sy, weighted_charge, tx, ty):

@@ -5,11 +5,14 @@ compilation cache hangs on this system).
 `maybe_aot(jfn, args, tag)` returns a compiled callable: on a cache hit
 it deserializes a previously compiled executable (sub-second) instead of
 recompiling; on a miss it compiles, stores, and returns.  Default cache
-directory is /tmp/ipde_aot_cache; override with IPDE_AOT_CACHE=<dir> or
-disable with IPDE_AOT_CACHE=0.
+directory is a PER-USER path (tempdir/ipde_aot_cache_<uid>, created mode
+0700 and ownership-checked before any blob is unpickled -- executables
+load via pickle, so a world-writable shared dir would be arbitrary code
+execution); override with IPDE_AOT_CACHE=<dir> or disable with
+IPDE_AOT_CACHE=0.
 
 Cache key = (tag, jax/jaxlib versions, backend + device kind, a content
-hash of every tracked Python source in the package, abstract
+hash of all package .py files plus the repo-root entry scripts, abstract
 shapes/dtypes of args).  Hashing the SOURCES (not the git commit) makes
 stale hits across code changes impossible while keeping the cache warm
 across doc-only commits and dirty worktrees -- the right trade for a
@@ -25,16 +28,35 @@ from __future__ import annotations
 import hashlib
 import os
 import pickle
+import tempfile
 import time
 
 
 _SRC_HASH = None
 
 
+def _default_cache_dir() -> str:
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    return os.path.join(tempfile.gettempdir(), f"ipde_aot_cache_{uid}")
+
+
+def _dir_is_safe(path: str) -> bool:
+    """True iff `path` is a directory owned by us and not writable by
+    others -- the precondition for trusting pickled blobs inside it."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return False
+    if hasattr(os, "getuid") and st.st_uid != os.getuid():
+        return False
+    return not (st.st_mode & 0o022)
+
+
 def _src_hash() -> str:
-    """Content hash of every Python source the traced program can depend
-    on (the package tree + the repo-root entry scripts).  Computed once
-    per process."""
+    """Content hash of all package .py files (tracked or not) plus the
+    repo-root entry scripts, with paths hashed RELATIVE to the repo root
+    so identical trees at different checkout locations share entries.
+    Computed once per process."""
     global _SRC_HASH
     if _SRC_HASH is not None:
         return _SRC_HASH
@@ -51,7 +73,7 @@ def _src_hash() -> str:
         if os.path.exists(p):
             paths.append(p)
     for p in sorted(paths):
-        h.update(p.encode())
+        h.update(os.path.relpath(p, root).encode())
         try:
             with open(p, "rb") as fh:
                 h.update(fh.read())
@@ -79,7 +101,7 @@ def maybe_aot(jfn, args, tag: str, verbose: bool = True):
     """Wrap a jitted OR planified function with the executable disk cache
     (see module docstring).  `args` must be example arguments with the
     production shapes; the returned callable accepts the same tree."""
-    cache_dir = os.environ.get("IPDE_AOT_CACHE", "/tmp/ipde_aot_cache")
+    cache_dir = os.environ.get("IPDE_AOT_CACHE", _default_cache_dir())
     if cache_dir in ("", "0", "off"):
         return jfn
     import jax
@@ -98,7 +120,13 @@ def maybe_aot(jfn, args, tag: str, verbose: bool = True):
             return jfn
         return lambda *a: compiled(plans, *a)
     from jax.experimental import serialize_executable as se
-    os.makedirs(cache_dir, exist_ok=True)
+    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+    if not _dir_is_safe(cache_dir):
+        # not ours / group-or-world-writable: never unpickle from it
+        if verbose:
+            print(f"# aot-cache disabled: {cache_dir} is not a private "
+                  f"directory owned by this user", flush=True)
+        return jfn
     path = os.path.join(cache_dir, _key(tag, args) + ".jaxexe")
     if os.path.exists(path):
         t0 = time.time()
@@ -113,14 +141,19 @@ def maybe_aot(jfn, args, tag: str, verbose: bool = True):
             if verbose:
                 print(f"# aot-cache load failed ({type(e).__name__}: {e}); "
                       f"recompiling", flush=True)
-            os.remove(path)
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
     t0 = time.time()
     compiled = jfn.lower(*args).compile()
     compile_s = time.time() - t0
     try:
         blob = pickle.dumps(se.serialize(compiled))
-        with open(path, "wb") as fh:
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as fh:
             fh.write(blob)
+        os.replace(tmp, path)
         if verbose:
             print(f"# aot-cache miss {tag}: compiled {compile_s:.1f}s, "
                   f"stored {len(blob) / 1e6:.1f} MB", flush=True)

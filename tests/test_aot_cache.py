@@ -19,7 +19,8 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_disabled_is_identity(monkeypatch):
-    monkeypatch.delenv("IPDE_AOT_CACHE", raising=False)
+    # unset now means ENABLED (per-user default dir); "0" is the off switch
+    monkeypatch.setenv("IPDE_AOT_CACHE", "0")
     f = jax.jit(lambda x: x + 1)
     assert maybe_aot(f, (jnp.zeros(4),), "t") is f
 
@@ -68,6 +69,13 @@ def test_roundtrip_single_device(tmp_path):
         assert np.abs(np.asarray(c(y)) - want2).max() == 0.0
         c2 = maybe_aot(jstep, (y,), "plan1")   # hit path
         assert np.abs(np.asarray(c2(y)) - want2).max() == 0.0
+
+        # a group/world-writable cache dir must be refused (pickle safety)
+        unsafe = {str(tmp_path)!r} + "_unsafe"
+        os.makedirs(unsafe, exist_ok=True)
+        os.chmod(unsafe, 0o777)
+        os.environ["IPDE_AOT_CACHE"] = unsafe
+        assert maybe_aot(f, (x,), "t2") is f
         print("OK")
     """)
     out = subprocess.run([sys.executable, "-c", script], capture_output=True,
