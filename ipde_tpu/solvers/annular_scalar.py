@@ -71,20 +71,29 @@ def _matvec(ops: AnnularOps, u_flat: jax.Array, M: int, n: int) -> jax.Array:
     return jnp.concatenate([top, rl, ru], axis=0).ravel()
 
 
-def use_f32_precond() -> bool:
+def use_f32_precond(tol: float = 0.0) -> bool:
     """IPDE_PRECOND_F32=1 runs the GMRES preconditioner in f32 (native MXU
     speed instead of emulated f64), via FGMRES (an f32 M is not exactly
     linear, so the preconditioned basis must be stored -- ops/gmres.py
     flexible=True).  Accuracy of the CONVERGED solution is unaffected.
 
-    Iteration-count caveat: f32 perturbs the preconditioned spectrum by
-    ~2^-24 * kappa(A_m) per Fourier mode, so for ILL-conditioned blocks
-    the clustering at 1 degrades and iterations grow (measured: annular
-    POISSON k=0 at nb=300 takes 64 vs 25 iterations; the k>0 modified
-    Helmholtz cases are unaffected).  Use for well-conditioned solves
-    (k >= O(1)); default off."""
+    TOLERANCE GATE (r4): each f32 preconditioner application carries
+    ~2^-24 relative output noise, so once the target residual sits below
+    that floor the per-iteration convergence RATE roughly halves --
+    measured on the annular Poisson MMS (nb=400, M=16): identical
+    iteration counts at tol=1e-6, then a flat ~+20-iteration overhead
+    for every tighter tol (9->28 @ 1e-8, 19->39 @ 1e-14).  The effect is
+    UNIFORM in the Helmholtz k (k=0 and k=3 degrade alike; the earlier
+    "ill-conditioned k=0 blocks" reading did not survive measurement:
+    per-mode condition numbers are ~1.5e7 for every k).  The flag
+    therefore auto-falls back to the f64 preconditioner whenever the
+    requested tol is tighter than IPDE_PRECOND_F32_MIN_TOL (default
+    3e-7), so setting it globally is always safe."""
     import os
-    return os.environ.get("IPDE_PRECOND_F32", "") == "1"
+    if os.environ.get("IPDE_PRECOND_F32", "") != "1":
+        return False
+    min_tol = float(os.environ.get("IPDE_PRECOND_F32_MIN_TOL", "3e-7"))
+    return float(tol) >= min_tol
 
 
 def _precond(ops: AnnularOps, r_flat: jax.Array, M: int, n: int,
@@ -145,7 +154,7 @@ def batched_annular_solve(solvers, metrics, rhss, tol, maxiter, restart):
     M, n = solvers[0].M, solvers[0].n
     u, iters, resid = _solve_jit_batched(ops_stacked, rhs_stacked, M, n,
                                          maxiter, restart, jnp.asarray(tol),
-                                         use_f32_precond())
+                                         use_f32_precond(tol))
     us = [u[i] for i in range(len(solvers))]
     return us, {"iterations": iters, "residual": resid}
 
@@ -232,7 +241,7 @@ class AnnularScalarSolver:
         rhs = self.build_rhs(f, g_lb, g_ub)
         u, iters, resid = _solve_jit(ops, rhs.ravel(), self.M, self.n,
                                      maxiter, restart, jnp.asarray(tol),
-                                     use_f32_precond())
+                                     use_f32_precond(tol))
         if not isinstance(iters, jax.core.Tracer):
             self.iterations_last_call = int(iters)
             if verbose:

@@ -194,7 +194,7 @@ def batched_stokes_solve(solvers, metrics, rhss, tol, maxiter, restart):
     from ipde_tpu.solvers.annular_scalar import use_f32_precond
     ur, ut, p, iters, resid = _solve_jit_batched(
         ops_stacked, rhs_stacked, M, n, maxiter, restart, jnp.asarray(tol),
-        use_f32_precond())
+        use_f32_precond(tol))
     outs = [(ur[i], ut[i],
              jnp.matmul(s.P10, p[i], precision=_HIGH))
             for i, s in enumerate(solvers)]
@@ -325,7 +325,7 @@ class AnnularStokesSolver:
         ur, ut, p, iters, resid = _solve_jit(ops, rhs, self.M, self.n,
                                              maxiter, restart,
                                              jnp.asarray(tol),
-                                             use_f32_precond())
+                                             use_f32_precond(tol))
         if not isinstance(iters, jax.core.Tracer):
             self.iterations_last_call = int(iters)
             if verbose:

@@ -22,6 +22,23 @@ def _geometry(nb=128, M=12):
     return bdy, geom, metric
 
 
+def test_tol_gate():
+    """The f32 flag auto-falls back to f64 below the noise-floor tol
+    (measured: f32 M costs a flat ~+20 iterations for tol <= 1e-8)."""
+    import os
+    from ipde_tpu.solvers.annular_scalar import use_f32_precond
+    os.environ["IPDE_PRECOND_F32"] = "1"
+    try:
+        assert use_f32_precond(1e-6)
+        assert not use_f32_precond(1e-12)
+        os.environ["IPDE_PRECOND_F32_MIN_TOL"] = "1e-13"
+        assert use_f32_precond(1e-12)
+    finally:
+        del os.environ["IPDE_PRECOND_F32"]
+        os.environ.pop("IPDE_PRECOND_F32_MIN_TOL", None)
+    assert not use_f32_precond(1e-6)
+
+
 def test_scalar_f32_precond_matches(monkeypatch):
     bdy, geom, metric = _geometry()
     solver = AnnularModifiedHelmholtzSolver(geom, k=2.0)
@@ -34,14 +51,23 @@ def test_scalar_f32_precond_matches(monkeypatch):
     u64, st64 = solver.solve_with_stats(metric, f, g1, g2, tol=1e-12)
     monkeypatch.setenv("IPDE_PRECOND_F32", "1")
     solver32 = AnnularModifiedHelmholtzSolver(geom, k=2.0)  # fresh jit trace
+    # tol below the gate: identical f64 path, identical iteration count
     u32, st32 = solver32.solve_with_stats(metric, f, g1, g2, tol=1e-12)
-
-    # both converged to the same solution (residual-tol-limited agreement)
     du = np.abs(np.asarray(u64) - np.asarray(u32)).max()
     scale = np.abs(np.asarray(u64)).max()
     assert du / scale < 1e-9, du / scale
-    assert int(st32["iterations"]) <= int(st64["iterations"]) + 5, (
+    assert int(st32["iterations"]) == int(st64["iterations"]), (
         int(st32["iterations"]), int(st64["iterations"]))
+
+    # loose tol: the true f32 path engages, same rate as f64
+    monkeypatch.delenv("IPDE_PRECOND_F32", raising=False)
+    ul64, sl64 = solver.solve_with_stats(metric, f, g1, g2, tol=1e-5)
+    monkeypatch.setenv("IPDE_PRECOND_F32", "1")
+    ul32, sl32 = solver32.solve_with_stats(metric, f, g1, g2, tol=1e-5)
+    dul = np.abs(np.asarray(ul64) - np.asarray(ul32)).max()
+    assert dul / scale < 1e-4, dul / scale
+    assert int(sl32["iterations"]) <= int(sl64["iterations"]) + 3, (
+        int(sl32["iterations"]), int(sl64["iterations"]))
 
 
 def test_stokes_f32_precond_matches(monkeypatch):

@@ -1,7 +1,15 @@
-"""Per-phase timing of the flagship Poisson solve at bench sizes (TPU).
+"""Per-phase timing + MFU/roofline accounting of the flagship Poisson
+solve at bench sizes (TPU).
 
 Times each device phase separately (honest scalar-fetch sync through the
-axon tunnel) so perf work is attributable.  Usage:
+axon tunnel) and reports each phase's logical FLOP count (XLA lowered
+cost analysis -- f64 ops counted once, i.e. "useful" flops, not the
+emulation expansion), achieved GFLOP/s, and percent of chip peak
+(IPDE_PEAK_TFLOPS, default 197 = v5e bf16).  Low %peak on a phase with
+small flops = latency/HBM-bound (algorithm problem); low %peak with
+large flops = kernel-efficiency problem.  VERDICT r3 item 5.
+
+Usage:
     BENCH_NB=2700 BENCH_M=14 python tools/profile_solve.py
 """
 
@@ -12,6 +20,8 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PEAK_TFLOPS = float(os.environ.get("IPDE_PEAK_TFLOPS", 197.0))
 
 
 def sync(x):
@@ -30,6 +40,39 @@ def timeit(fn, *args, n=3, latency=0.0):
         sync(jax.tree_util.tree_leaves(out)[0])
         ts.append(time.time() - t0 - latency)
     return float(np.median(ts)) * 1e3, out
+
+
+def flops_of(jfn, *args):
+    """Logical FLOPs of one call from the LOWERED (pre-optimization) XLA
+    cost analysis: free (no second compile through the tunnel), and it
+    counts f64 ops once each -- the MFU numerator convention."""
+    try:
+        if hasattr(jfn, "inner"):
+            lowered = jfn.inner.lower(jfn.plans, *args)
+        else:
+            lowered = jfn.lower(*args)
+        ca = lowered.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception as e:                     # pragma: no cover
+        print(f"  (cost analysis failed: {type(e).__name__}: {e})",
+              file=sys.stderr)
+        return float("nan")
+
+
+_ROWS = []
+
+
+def report(name, jfn, *args, latency=0.0, extra=""):
+    ms, out = timeit(jfn, *args, latency=latency)
+    fl = flops_of(jfn, *args)
+    gfs = fl / (ms * 1e-3) / 1e9 if ms > 0 and fl == fl else float("nan")
+    pct = 100.0 * gfs / (PEAK_TFLOPS * 1e3)
+    _ROWS.append((name, ms, fl, gfs, pct))
+    print(f"{name:<21}{ms:8.1f} ms  {fl/1e9:10.2f} GF {gfs:9.1f} GF/s "
+          f"{pct:6.2f}%pk  {extra}", flush=True)
+    return out
 
 
 def main():
@@ -52,6 +95,10 @@ def main():
     t0 = time.time()
     bdy = star(nb, a=0.2, f=5)
     bh = min(bdy.min_h(), 0.6 / np.abs(bdy.curvature).max() / M)
+    if os.environ.get("BENCH_GRID"):
+        tg = int(os.environ["BENCH_GRID"])
+        extent = float(bdy.x.max() - bdy.x.min())
+        bh = min(bh, extent / (tg - 3 * M))
     ebdy = EmbeddedBoundary(bdy, True, M, bh, qfs_tolerance=1e-14)
     t_geom = time.time() - t0
     ebdyc = EmbeddedBoundaryCollection([ebdy])
@@ -68,7 +115,8 @@ def main():
     print(f"setup: geom {t_geom:.1f}s register {t_reg:.1f}s "
           f"solver {t_solver:.1f}s bie {t_bie:.1f}s grid={grid.shape} "
           f"pad={solver.grid_eval.Px // grid.Nx} "
-          f"patchP={solver.grid_eval.patch_P} backend={jax.default_backend()}")
+          f"patchP={solver.grid_eval.patch_P} backend={jax.default_backend()}",
+          flush=True)
 
     tiny = jax.jit(lambda x: x + 1.0)
     _ = float(tiny(jnp.asarray(0.0)))
@@ -76,7 +124,8 @@ def main():
     for _ in range(5):
         _ = float(tiny(jnp.asarray(0.0)))
     lat = (time.time() - t0) / 5
-    print(f"latency {lat*1e3:.1f} ms")
+    print(f"latency {lat*1e3:.1f} ms  peak {PEAK_TFLOPS:.0f} TFLOP/s "
+          f"(IPDE_PEAK_TFLOPS)", flush=True)
 
     h = solver.helpers[0]
     ge = solver.grid_eval
@@ -84,9 +133,8 @@ def main():
     q = jnp.asarray(np.random.default_rng(0).standard_normal(S))
 
     # 1. VG evaluator: full, fft-only, patches-only
-    full = planified(lambda qq: ge(qq), solver)
-    ms, _ = timeit(full, q, latency=lat)
-    print(f"VG full apply        {ms:8.1f} ms")
+    report("VG full apply", planified(lambda qq: ge(qq), solver), q,
+           latency=lat)
 
     def fft_only(qq):
         from ipde_tpu.ops.cx import Cx
@@ -94,14 +142,13 @@ def main():
         c = ge.fft_plan.rfft2(spread)
         c = Cx(c.re * ge.mult, c.im * ge.mult)
         return ge.fft_plan.irfft2_real(c)[: grid.Nx, : grid.Ny]
-    ms, _ = timeit(planified(fft_only, solver), q, latency=lat)
-    print(f"VG fft part          {ms:8.1f} ms")
+    report("VG fft part", planified(fft_only, solver), q, latency=lat)
 
     def patches_only(qq):
+        # patches are stored FLAT (S, P*P): see _patch_geometry
         return ge._apply_patches(
-            [jnp.zeros(grid.shape)], [ge.patches * qq[:, None, None]])[0]
-    ms, _ = timeit(planified(patches_only, solver), q, latency=lat)
-    print(f"VG patch scan        {ms:8.1f} ms")
+            [jnp.zeros(grid.shape)], [ge.patches * qq[:, None]])[0]
+    report("VG patch scan", planified(patches_only, solver), q, latency=lat)
 
     # 2. grid fft solve
     def grid_solve(fg):
@@ -110,8 +157,8 @@ def main():
         modes = ebdyc.fft_plan.fft2(fc)
         return ebdyc.fft_plan.ifft2_real(
             Cx(modes.re * solver._symbol, modes.im * solver._symbol))
-    ms, _ = timeit(planified(grid_solve, solver), f.grid, latency=lat)
-    print(f"grid fft solve       {ms:8.1f} ms")
+    report("grid fft solve", planified(grid_solve, solver), f.grid,
+           latency=lat)
 
     # 3. interface interpolation (3-stack NUFFT)
     def ifc_interp(fg):
@@ -121,8 +168,8 @@ def main():
         stack = Cx(jnp.stack([modes.re, -modes.im * kx, -modes.im * ky]),
                    jnp.stack([modes.im, modes.re * kx, modes.re * ky]))
         return ebdyc.interpolate_grid_to_interface_modes(stack)
-    ms, _ = timeit(planified(ifc_interp, solver), f.grid, latency=lat)
-    print(f"interface interp x3  {ms:8.1f} ms")
+    report("interface interp x3", planified(ifc_interp, solver), f.grid,
+           latency=lat)
 
     # 3b. interp internals (fine iFFT vs gather+window contraction):
     # decides whether a tile-binned Pallas gather kernel is worth building
@@ -135,11 +182,10 @@ def main():
             rng = np.random.default_rng(0)
             mre = jnp.asarray(rng.standard_normal((nmx, nmy)))
             mim = jnp.asarray(rng.standard_normal((nmx, nmy)))
-            ms, _ = timeit(planified(
+            report(f"{name} hybrid", planified(
                 lambda re, im: interp._one_from_modes(Cx(re, im)), solver),
-                mre, mim, latency=lat)
-            print(f"{name} hybrid total  {ms:8.1f} ms  "
-                  f"(T={interp.T} w={interp.w} nx={interp.nx})")
+                mre, mim, latency=lat,
+                extra=f"(T={interp.T} w={interp.w} nx={interp.nx})")
             return
         if not isinstance(interp, PeriodicInterpolator2D):
             print(f"{name}: exact-interp path (no fine grid)")
@@ -157,9 +203,8 @@ def main():
             cp = _pad_modes(cd, p.nx, p.ny, p.nfx, p.nfy)
             return interp.fine_plan.ifft2_real(cp)
 
-        msf, fine = timeit(planified(fine_part, solver), mre, mim,
-                           latency=lat)
-        print(f"{name} fine iFFT     {msf:8.1f} ms  (fine {p.nfx}x{p.nfy})")
+        fine = report(f"{name} fine iFFT", planified(fine_part, solver),
+                      mre, mim, latency=lat, extra=f"(fine {p.nfx}x{p.nfy})")
 
         def gather_part(fg):
             patches = jnp.take(fg.ravel(), p.flat_idx, axis=0)
@@ -167,8 +212,8 @@ def main():
             return jnp.einsum("tp,tq,tpq->t", p.wx, p.wy, patches,
                               precision=jax.lax.Precision.HIGHEST)
 
-        msg, _ = timeit(planified(gather_part, solver), fine, latency=lat)
-        print(f"{name} gather+win    {msg:8.1f} ms  (T={interp.T} w={interp.w})")
+        report(f"{name} gather+win", planified(gather_part, solver), fine,
+               latency=lat, extra=f"(T={interp.T} w={interp.w})")
 
     interp_breakdown("ifc-interp", ebdyc.interface_interp, grid.Nx, grid.Ny)
     interp_breakdown("radial->grid", ebdyc.radial_to_grid_plans[0],
@@ -180,51 +225,52 @@ def main():
         u, st = h.annular_solver.solve_with_stats(
             h.metric, fr, zero, zero, tol=1e-12, maxiter=100, restart=30)
         return u, st
-    ms, (u_ann, st) = timeit(planified(annular, solver), f.radials[0],
-                             latency=lat)
-    print(f"annular GMRES        {ms:8.1f} ms  iters={int(st['iterations'])}")
+    u_ann, st = report("annular GMRES", planified(annular, solver),
+                       f.radials[0], latency=lat)
+    print(f"  iters={int(st['iterations'])}")
 
     # 5. QFS densities (2 matmuls x 2)
     bvals = jnp.asarray(np.random.standard_normal(nb))
     def qfs(bv):
         return h.qfs_g([bv, bv]), h.qfs_r([bv, bv])
-    ms, _ = timeit(planified(qfs, solver), bvals, latency=lat)
-    print(f"QFS g+r apply        {ms:8.1f} ms")
+    report("QFS g+r apply", planified(qfs, solver), bvals, latency=lat)
 
     # 6. correct: u2s + radial dense apply
     sg = jnp.asarray(np.random.standard_normal(h.grid_source.N))
     sr = jnp.asarray(np.random.standard_normal(h.radial_source.N))
     def correct(sg_, sr_):
         return h.correct(solver, u_ann, sg_, sr_, bvals)
-    ms, _ = timeit(planified(correct, solver), sg, sr, latency=lat)
-    print(f"correct (radial)     {ms:8.1f} ms")
+    report("correct (radial)", planified(correct, solver), sg, sr,
+           latency=lat)
 
     # 7. radial -> grid merge
     def r2g(fr):
         return ebdyc.interpolate_radial_to_grid([fr], jnp.zeros(grid.shape))
-    ms, _ = timeit(planified(r2g, solver), u_ann, latency=lat)
-    print(f"radial->grid         {ms:8.1f} ms")
+    report("radial->grid", planified(r2g, solver), u_ann, latency=lat)
 
     # 8. interface dense apply (merged sigma_g -> interfaces)
     def ifc_dense(sg_):
         return solver._apply_merged(sg_, ebdyc.all_interface_x_dev,
                                     ebdyc.all_interface_y_dev)
-    ms, _ = timeit(planified(ifc_dense, solver), q, latency=lat)
-    print(f"sigma_g -> interfaces{ms:8.1f} ms")
+    report("sigma_g->interfaces", planified(ifc_dense, solver), q,
+           latency=lat)
 
     # 9. BIE apply_bc
-    ue = EmbeddedFunction(f.grid, [u_ann])
     run_bie = planified(lambda g, r: bie.apply_bc(
         EmbeddedFunction(g, [r]), bc).grid, solver, bie)
-    ms, _ = timeit(run_bie, f.grid, u_ann, latency=lat)
-    print(f"BIE apply_bc         {ms:8.1f} ms")
+    report("BIE apply_bc", run_bie, f.grid, u_ann, latency=lat)
 
     # full solve for reference
     run = planified(lambda g, r: bie.apply_bc(
         solver(EmbeddedFunction(g, [r]), tol=1e-12, maxiter=100, restart=30),
         bc).grid, solver, bie)
-    ms, _ = timeit(run, f.grid, f.radials[0], latency=lat)
-    print(f"FULL solve           {ms:8.1f} ms")
+    report("FULL solve", run, f.grid, f.radials[0], latency=lat)
+
+    tot_ms = _ROWS[-1][1]
+    tot_fl = _ROWS[-1][2]
+    print(f"\nfull-solve MFU: {100.0 * tot_fl / (tot_ms * 1e-3) / 1e9 / (PEAK_TFLOPS * 1e3):.2f}% "
+          f"of {PEAK_TFLOPS:.0f} TFLOP/s peak "
+          f"({tot_fl/1e9:.1f} GF in {tot_ms:.1f} ms)")
 
 
 if __name__ == "__main__":
