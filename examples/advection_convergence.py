@@ -111,17 +111,11 @@ def main():
         ok = (rows[-1]["order_fe"] > 0.7 and rows[-1]["order_bdf2"] > 1.6)
         print("orders OK" if ok else "ORDER CHECK FAILED")
 
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "LEDGER_TPU.json")
-    try:
-        led = json.load(open(path))
-    except Exception:
-        led = {}
-    led["advection_convergence"] = {
-        "nb": nb, "M": M, "T": T_final, "rows": rows, "orders_ok": bool(ok),
-        "backend": jax.default_backend(),
-    }
-    json.dump(led, open(path, "w"), indent=1)
+    from ipde_tpu.utils.ledger import record
+    record("advection_convergence",
+           [{"nb": nb, "M": M, "T": T_final, "rows": rows,
+             "orders_ok": bool(ok)}],
+           ("nb", "M", "T"))
     return 0 if ok else 1
 
 

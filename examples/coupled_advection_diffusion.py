@@ -86,20 +86,9 @@ print("final mass:", ebdyc.volume_integral(c), flush=True)
 # record the per-step cost table (VERDICT r2 item 3: helper reuse means a
 # timestep costs solve + incremental geometry, NOT a full setup -- the
 # first step's setup_s is the one-time build, later steps reuse helpers)
-import json
-import jax
-path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                    "LEDGER_TPU.json")
-ledger = {}
-if os.path.exists(path):
-    with open(path) as fh:
-        ledger = json.load(fh)
-ledger["coupled_advection_diffusion"] = {
-    "nb": nb, "M": M, "dt": dt, "steps": steps,
-    "rel_err": float(f"{max(ge, re)/scale:.3e}"),
-    "step_rows": step_rows,
-    "backend": jax.default_backend(),
-    "date": time.strftime("%Y-%m-%d"),
-}
-with open(path, "w") as fh:
-    json.dump(ledger, fh, indent=1)
+from ipde_tpu.utils.ledger import record
+record("coupled_advection_diffusion",
+       [{"nb": nb, "M": M, "dt": dt, "steps": steps,
+         "rel_err": float(f"{max(ge, re)/scale:.3e}"),
+         "step_rows": step_rows}],
+       ("nb", "M", "dt", "steps"))

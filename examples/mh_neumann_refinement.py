@@ -78,6 +78,10 @@ REFERENCE_ERR = {1.0: 9.82e-10, 1e4: 4.10e-09}
 def main():
     import jax
     jax.config.update("jax_enable_x64", True)
+    # BENCH_PLATFORM=cpu pins the CPU backend (the axon
+    # sitecustomize overrides the JAX_PLATFORMS env var)
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     spec = os.environ.get(
         "MHN_CASES", "1.0:200,10 1.0:400,16 100.0:400,20 100.0:600,24")
     cases = []
@@ -100,17 +104,8 @@ def main():
         best[key] = min(best.get(key, np.inf), row["err"])
     ok = all(best[k2] <= 3 * REFERENCE_ERR[k2]
              for k2 in best if k2 in REFERENCE_ERR)
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "LEDGER_TPU.json")
-    ledger = {}
-    if os.path.exists(path):
-        with open(path) as fh:
-            ledger = json.load(fh)
-    ledger["mh_neumann_refinement"] = {
-        "rows": rows, "backend": jax.default_backend(),
-        "date": time.strftime("%Y-%m-%d"), "pass": bool(ok)}
-    with open(path, "w") as fh:
-        json.dump(ledger, fh, indent=1)
+    from ipde_tpu.utils.ledger import record
+    record("mh_neumann_refinement", rows, ("k2", "nb", "M"))
     print("all ledger rows met" if ok else "ledger rows FAILED", flush=True)
     return 0 if ok else 1
 

@@ -90,6 +90,10 @@ REFERENCE_ERR = {200: 5.5635e-04, 600: 9.6542e-07, 1200: 2.5122e-11,
 def main():
     import jax
     jax.config.update("jax_enable_x64", True)
+    # BENCH_PLATFORM=cpu pins the CPU backend (the axon
+    # sitecustomize overrides the JAX_PLATFORMS env var)
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     spec = os.environ.get("POISSON_NBS", "200,8 600,12 1200,16 2600,20")
     cases = [tuple(int(v) for v in c.split(",")) for c in spec.split()]
     rows = []
@@ -105,18 +109,8 @@ def main():
         print(f"{nb:>6} {M:>3} {row['dof']:>9} {row['err']:>10.2e} "
               f"{(f'{ref:.2e}' if ref else '-'):>10} {row['setup_s']:>8.1f} "
               f"{row['compile_s']:>9.1f} {row['solve_ms']:>9.1f}", flush=True)
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "LEDGER_TPU.json")
-    ledger = {}
-    if os.path.exists(path):
-        with open(path) as fh:
-            ledger = json.load(fh)
-    import jax
-    ledger["poisson_refinement"] = {"rows": rows,
-                                    "backend": jax.default_backend(),
-                                    "date": time.strftime("%Y-%m-%d")}
-    with open(path, "w") as fh:
-        json.dump(ledger, fh, indent=1)
+    from ipde_tpu.utils.ledger import record
+    record("poisson_refinement", rows, ("nb", "M"))
     bad = [r for r in rows if not r["beats_reference"]]
     print("ledger rows FAILED: " + json.dumps(bad) if bad
           else "all ledger rows met", flush=True)

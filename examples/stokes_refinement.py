@@ -115,6 +115,10 @@ REFERENCE_ERR = {100: 2.5864e-01, 400: 4.8345e-07, 700: 3.3441e-10,
 def main():
     import jax
     jax.config.update("jax_enable_x64", True)
+    # BENCH_PLATFORM=cpu pins the CPU backend (the axon
+    # sitecustomize overrides the JAX_PLATFORMS env var)
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     spec = os.environ.get("STOKES_NBS", "100,8 400,12 700,16")
     cases = [tuple(int(v) for v in c.split(",")) for c in spec.split()]
     rows = []
@@ -129,17 +133,8 @@ def main():
         print(f"{nb:>6} {M:>3} {row['dof']:>9} {row['err']:>10.2e} "
               f"{(f'{ref:.2e}' if ref else '-'):>10} {row['setup_s']:>8.1f} "
               f"{row['compile_s']:>9.1f} {row['solve_ms']:>9.1f}", flush=True)
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "LEDGER_TPU.json")
-    ledger = {}
-    if os.path.exists(path):
-        with open(path) as fh:
-            ledger = json.load(fh)
-    ledger["stokes_refinement"] = {"rows": rows,
-                                   "backend": jax.default_backend(),
-                                   "date": time.strftime("%Y-%m-%d")}
-    with open(path, "w") as fh:
-        json.dump(ledger, fh, indent=1)
+    from ipde_tpu.utils.ledger import record
+    record("stokes_refinement", rows, ("nb", "M"))
     bad = [r for r in rows if not r["beats_reference"]]
     print("ledger rows FAILED: " + json.dumps(bad) if bad
           else "all ledger rows met", flush=True)
