@@ -35,6 +35,11 @@ class EmbeddedBoundary:
                  coordinate_tolerance: float = 1e-14,
                  qfs_tolerance: float = 1e-12,
                  qfs_source_shift: Optional[float] = None):
+        # every setup path starts here; warm processes then skip the
+        # per-eager-op tunnel compiles that dominate setup wall clock
+        # (~522 distinct single-op XLA programs at bench sizes)
+        from ipde_tpu.utils.xla_cache import enable_persistent_cache
+        enable_persistent_cache()
         self.bdy = bdy
         self.interior = bool(interior)
         self.M = int(M)

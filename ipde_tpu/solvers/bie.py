@@ -26,6 +26,18 @@ from ipde_tpu.solvers.scalar import (ModifiedHelmholtzSolver, PoissonSolver,
 _HIGH = jax.lax.Precision.HIGHEST
 
 
+def _bie_backend() -> str:
+    """BIE build backend: IPDE_BIE_BACKEND=host|device overrides (A/B
+    bisection of device-built BIE blocks vs device QFS compose, which
+    share IPDE_QFS_BACKEND otherwise), else qfs.auto_backend()."""
+    import os
+    env = os.environ.get("IPDE_BIE_BACKEND")
+    if env in ("host", "device"):
+        return env
+    from ipde_tpu.qfs.qfs import auto_backend
+    return auto_backend()
+
+
 def _invert_system(blocks, offs, backend: str):
     """Assemble the block BIE matrix and produce (A_dev, Ainv_dev).
 
@@ -65,8 +77,7 @@ class DirichletBIE:
         self.solver = solver
         ebdyc = solver.ebdyc
         self.ebdyc = ebdyc
-        from ipde_tpu.qfs.qfs import auto_backend
-        backend = auto_backend()
+        backend = _bie_backend()
         Ns = [e.bdy.N for e in ebdyc]
         offs = np.concatenate([[0], np.cumsum(Ns)])
         blocks = [[self._dlp_block(ei, ej, backend) for ej in ebdyc]
@@ -230,8 +241,7 @@ class StokesDirichletBIE:
         self.solver = solver
         ebdyc = solver.ebdyc
         self.ebdyc = ebdyc
-        from ipde_tpu.qfs.qfs import auto_backend
-        backend = auto_backend()
+        backend = _bie_backend()
         dev = backend == "device"
         if dev:
             from ipde_tpu.ops import forms_dev as fd
@@ -395,8 +405,7 @@ class NeumannBIE:
         ebdyc = solver.ebdyc
         self.ebdyc = ebdyc
         is_mh = isinstance(solver, ModifiedHelmholtzSolver)
-        from ipde_tpu.qfs.qfs import auto_backend
-        backend = auto_backend()
+        backend = _bie_backend()
         dev = backend == "device"
         if dev:
             from ipde_tpu.ops import forms_dev as fd
