@@ -29,7 +29,8 @@ the same floor as every other f64 path on this chip) plus the truncation
 tail ~ k 2^{-50}: measured 1e-13-scale absolute on bench-size kernel
 matrices, vs 6e-7 for the emulated dot_general.
 
-Cost: ~(PMAX+1)(PMAX+2)/2 bf16 MXU matmuls = 45 at defaults -- ~0.2 s for
+Cost: pairs with p + q <= PMAX and p, q < NSLICE = 79 bf16 MXU matmuls
+at defaults (45 at the former PMAX=8 default) -- ~0.3 s for
 (5400, 16200) x (16200, 5400) at v5e bf16 throughput, ~5000x less HBM
 traffic than the column-scan exact_mm.
 
@@ -45,9 +46,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 SBITS = 5          # slice bits: k 2^{2 SBITS} <= 2^24 for k <= 16384
-NSLICE = 10        # 10 x 5 = 50 bits >= the 48-bit double-single mantissa
-PMAX = 8           # keep pairs p + q <= PMAX: tail < 2^-50 of row*col scale
+NSLICE = int(os.environ.get("IPDE_OZAKI_NSLICE", "10"))
+# 10 x 5 = 50 bits >= the 48-bit double-single mantissa
+PMAX = int(os.environ.get("IPDE_OZAKI_PMAX", "12"))
+# keep pairs p + q <= PMAX.  The dropped tail is the DOMINANT error term
+# for large-norm operands (QFS maps, |M| ~ 1e5): at PMAX=8 the device
+# compose refine-stalled at ~5e-10 matrix residual (6.6e-9 applied,
+# tools/qfs_decompose.py nb=600); PMAX=12 reaches 5e-12 / 3.2e-11 --
+# equal to the exact column-scan products -- for 79 vs 45 bf16 matmuls.
 
 
 def _pow2_scales(m):
