@@ -1,7 +1,8 @@
 """End-to-end MMS test: interior Stokes with velocity Dirichlet BC
 (reference: examples/interior_stokes.py; ledger comparison:
-examples/multi_stokes_for_paper.py:249 gives 4.8e-7 at nb=400 -- we reach
-~1e-9 velocity error at the same boundary resolution)."""
+examples/multi_stokes_for_paper.py:249 gives 4.8e-7 at nb=400 and a
+3.3e-10 plateau at nb=700 -- this config asserts the suite into that
+plateau territory: measured 5.8e-10 velocity error at nb=600)."""
 
 import numpy as np
 
@@ -41,7 +42,7 @@ def fv_f(x, y):
 
 
 def test_interior_stokes():
-    nb, M = 300, 14
+    nb, M = 600, 16
     bdy = star(nb, a=0.15, f=5)
     bh = min(bdy.min_h(), 0.6 / np.abs(bdy.curvature).max() / M)
     ebdy = EmbeddedBoundary(bdy, True, M, bh, qfs_tolerance=1e-14)
@@ -70,6 +71,6 @@ def test_interior_stokes():
     shift = float(np.asarray(dp.grid)[phys].mean())
     ep = err(dp, shift)
     print(f"interior stokes: u {eu:.2e} v {ev:.2e} p {ep:.2e}")
-    assert eu < 3e-8, f"u err {eu:.2e}"  # measured 1.07e-8
-    assert ev < 3e-8, f"v err {ev:.2e}"  # measured 5.3e-9
-    assert ep < 2e-6, f"p err {ep:.2e}"  # measured 7.3e-7
+    assert eu < 2e-9, f"u err {eu:.2e}"  # measured 5.84e-10
+    assert ev < 2e-9, f"v err {ev:.2e}"  # measured 6.25e-10
+    assert ep < 1.5e-7, f"p err {ep:.2e}"  # measured 3.59e-8

@@ -46,6 +46,11 @@ def main():
     bh = min(bdy.min_h(), 0.6 / np.abs(bdy.curvature).max() / M)
     if os.environ.get("BENCH_BH"):
         bh = min(bh, float(os.environ["BENCH_BH"]))
+    elif os.environ.get("BENCH_GRID"):
+        # same grid-target sizing as bench.py run_config
+        tg = int(os.environ["BENCH_GRID"])
+        extent = float(bdy.x.max() - bdy.x.min())
+        bh = min(bh, extent / (tg - 3 * M))
     ebdy = EmbeddedBoundary(bdy, True, M, bh, qfs_tolerance=1e-14)
     ebdyc = EmbeddedBoundaryCollection([ebdy])
     grid = ebdyc.generate_grid(bh)
