@@ -95,27 +95,31 @@ class SemiLagrangianAdvector:
         if ddd > new_ebdyc.ebdys[0].radial_width:
             raise ValueError("timestep oversteps the annulus safety zone; "
                              "reduce dt")
+        pq = getattr(ebdyc, "pad_quantum", None)
         if fixed_grid or fixed_boundary:
-            new_ebdyc.register_grid(ebdyc.grid, danger_zone_distance=ddd)
+            new_ebdyc.register_grid(ebdyc.grid, danger_zone_distance=ddd,
+                                    pad_quantum=pq)
         else:
             new_ebdyc.generate_grid(h=ebdyc.ebdys[0].h,
-                                    danger_zone_distance=ddd)
+                                    danger_zone_distance=ddd,
+                                    pad_quantum=pq)
 
         # points needing values: new pna grid points + new radial points
+        # (pna is capacity-padded under pad_quantum, so this point set --
+        # and every plan built on it -- keeps a step-invariant shape)
         px = np.concatenate([new_ebdyc.pna_x]
                             + [e.radial_x.ravel() for e in new_ebdyc])
         py = np.concatenate([new_ebdyc.pna_y]
                             + [e.radial_y.ravel() for e in new_ebdyc])
         # capture band widened by ddd so `part` can seed the departure-point
         # partition below (departure displacement <= umax dt = ddd/2)
-        part = PointPartition(ebdyc, px, py, extra_capture=ddd)
-        # zones 1-2: linearized departure solve
-        uh = np.asarray(part.interpolate(self.u))
-        vh = np.asarray(part.interpolate(self.v))
-        uxh = np.asarray(part.interpolate(self.ux))
-        uyh = np.asarray(part.interpolate(self.uy))
-        vxh = np.asarray(part.interpolate(self.vx))
-        vyh = np.asarray(part.interpolate(self.vy))
+        part = PointPartition(ebdyc, px, py, extra_capture=ddd,
+                              pad_quantum=pq)
+        # zones 1-2: linearized departure solve (u, v + 4 gradients in ONE
+        # batched interpolation pass)
+        six = np.asarray(part.interpolate_many(
+            [self.u, self.v, self.ux, self.uy, self.vx, self.vy]))
+        uh, vh, uxh, uyh, vxh, vyh = six
         sel = part.zone1_or_2
         det = (1 + dt * uxh[sel]) * (1 + dt * vyh[sel]) \
             - dt * uyh[sel] * dt * vxh[sel]
@@ -162,7 +166,7 @@ class SemiLagrangianAdvector:
         self.xd = xd
         self.yd = yd
         self.dep_partition = PointPartition(ebdyc, xd, yd, fix_r=True,
-                                            seed=part)
+                                            seed=part, pad_quantum=pq)
         return new_ebdyc
 
     def __call__(self, f: EmbeddedFunction) -> EmbeddedFunction:
@@ -256,27 +260,30 @@ class SecondOrderAdvector:
         ddd = 2.0 * umax * dt
         if ddd > new_ebdyc.ebdys[0].radial_width:
             raise ValueError("timestep oversteps the annulus safety zone")
+        pq = getattr(ebdyc, "pad_quantum", None)
         if fixed_grid or fixed_boundary:
-            new_ebdyc.register_grid(ebdyc.grid, danger_zone_distance=ddd)
+            new_ebdyc.register_grid(ebdyc.grid, danger_zone_distance=ddd,
+                                    pad_quantum=pq)
         else:
             new_ebdyc.generate_grid(h=ebdyc.ebdys[0].h,
-                                    danger_zone_distance=ddd)
+                                    danger_zone_distance=ddd,
+                                    pad_quantum=pq)
         px = np.concatenate([new_ebdyc.pna_x]
                             + [e.radial_x.ravel() for e in new_ebdyc])
         py = np.concatenate([new_ebdyc.pna_y]
                             + [e.radial_y.ravel() for e in new_ebdyc])
         # capture widened by ddd: these partitions seed the departure-point
         # partitions (displacements: x_d ~ dt u <= ddd/2, x_D ~ 2 dt u <= ddd)
-        part = PointPartition(ebdyc, px, py, extra_capture=ddd)
-        part_o = PointPartition(ebdyc_old, px, py, extra_capture=ddd)
-        itp = lambda g: np.asarray(part.interpolate(g))
-        itpo = lambda g: np.asarray(part_o.interpolate(g))
-        uh, vh = itp(self.u), itp(self.v)
-        uxh, uyh = itp(self.ux), itp(self.uy)
-        vxh, vyh = itp(self.vx), itp(self.vy)
-        uoh, voh = itpo(self.uo), itpo(self.vo)
-        uxoh, uyoh = itpo(self.uxo), itpo(self.uyo)
-        vxoh, vyoh = itpo(self.vxo), itpo(self.vyo)
+        part = PointPartition(ebdyc, px, py, extra_capture=ddd,
+                              pad_quantum=pq)
+        part_o = PointPartition(ebdyc_old, px, py, extra_capture=ddd,
+                                pad_quantum=pq)
+        six = np.asarray(part.interpolate_many(
+            [self.u, self.v, self.ux, self.uy, self.vx, self.vy]))
+        uh, vh, uxh, uyh, vxh, vyh = six
+        sixo = np.asarray(part_o.interpolate_many(
+            [self.uo, self.vo, self.uxo, self.uyo, self.vxo, self.vyo]))
+        uoh, voh, uxoh, uyoh, vxoh, vyoh = sixo
         sel = part.zone1_or_2 & part_o.zone1_or_2
         ns = int(sel.sum())
         # two-level characteristic system (reference:
@@ -366,9 +373,10 @@ class SecondOrderAdvector:
                 yD[fc3] = O["by"] + O["ny"] * ro
         self.new_ebdyc = new_ebdyc
         self.dep_partition = PointPartition(ebdyc, xd, yd, fix_r=True,
-                                            seed=part)
+                                            seed=part, pad_quantum=pq)
         self.dep_partition_old = PointPartition(ebdyc_old, xD, yD,
-                                                fix_r=True, seed=part_o)
+                                                fix_r=True, seed=part_o,
+                                                pad_quantum=pq)
         return new_ebdyc
 
     def __call__(self, f: EmbeddedFunction,

@@ -54,6 +54,17 @@ def grid_inside_mask(bdy: BoundaryCurve, grid: Grid) -> np.ndarray:
     return (counts % 2) == 1
 
 
+def _cap(n: int, quantum: int) -> int:
+    """Smallest multiple of ``quantum`` >= max(n, 1)."""
+    return int(-(-max(n, 1) // quantum) * quantum)
+
+
+def _pad_repeat(a: np.ndarray, pad: int) -> np.ndarray:
+    """Pad with repeats of the first element (or 0 when empty)."""
+    fill = a[0] if a.size else 0.0
+    return np.concatenate([a, np.full(pad, fill, a.dtype)])
+
+
 class EmbeddedBoundaryCollection:
     def __init__(self, ebdys: Sequence[EmbeddedBoundary]):
         self.ebdys = list(ebdys)
@@ -73,7 +84,8 @@ class EmbeddedBoundaryCollection:
 
     # ------------------------------------------------------------------
     def generate_grid(self, h: Optional[float] = None,
-                      danger_zone_distance: float = 0.0) -> Grid:
+                      danger_zone_distance: float = 0.0,
+                      pad_quantum: Optional[int] = None) -> Grid:
         """Auto-generate the background box: the first boundary must be the
         interior one; pad by one radial width, plus bump room at the top
         right (reference: ipde/ebdy_collection.py:280-341)."""
@@ -94,13 +106,28 @@ class EmbeddedBoundaryCollection:
         Nx = int(32 * np.ceil((xmax - xmin) / h / 32))
         Ny = int(32 * np.ceil((ymax - ymin) / h / 32))
         grid = Grid([xmin, xmin + Nx * h], Nx, [ymin, ymin + Ny * h], Ny)
-        self.register_grid(grid, danger_zone_distance=danger_zone_distance)
+        self.register_grid(grid, danger_zone_distance=danger_zone_distance,
+                           pad_quantum=pad_quantum)
         return grid
 
     # ------------------------------------------------------------------
     def register_grid(self, grid: Grid, danger_zone_distance: float = 0.0,
-                      verbose: bool = False):
+                      verbose: bool = False,
+                      pad_quantum: Optional[int] = None):
+        """pad_quantum: when set, every VARIABLE-SIZE point set this
+        registration produces (pna = physical-not-in-annulus points, and
+        each boundary's in-annulus grid point set) is capacity-padded to
+        the next multiple of pad_quantum.  Padded slots carry an
+        out-of-range flat index (dropped by XLA scatter, jax's default
+        FILL_OR_DROP mode) and a repeat of the first real coordinate.
+        Successive registrations of a MOVING boundary then produce plan
+        arrays with IDENTICAL shapes, so jitted solves/advections are
+        re-executed (utils.planify.replan) instead of recompiled -- the
+        difference between a ~100 ms and a ~60 s timestep on the TPU
+        tunnel.  (Reference analogue: none; the reference is eager numpy,
+        ipde/advection/fe_advector.py:60-71 rebuilds everything.)"""
         self.grid = grid
+        self.pad_quantum = pad_quantum
         regs = [e.register_grid(grid, danger_zone_distance, verbose)
                 for e in self.ebdys]
         self.regs = regs
@@ -134,6 +161,13 @@ class EmbeddedBoundaryCollection:
         self.pna_flat = np.flatnonzero(self.phys_not_in_annulus)
         self.pna_x = grid.xg[self.phys_not_in_annulus]
         self.pna_y = grid.yg[self.phys_not_in_annulus]
+        if pad_quantum:
+            sentinel = grid.Nx * grid.Ny   # out of range -> scatter drops
+            pad = _cap(self.pna_flat.size, pad_quantum) - self.pna_flat.size
+            self.pna_flat = np.concatenate(
+                [self.pna_flat, np.full(pad, sentinel, self.pna_flat.dtype)])
+            self.pna_x = _pad_repeat(self.pna_x, pad)
+            self.pna_y = _pad_repeat(self.pna_y, pad)
         # device mirrors (plan arrays: hoisted here so jitted solves see
         # arguments, not trace-time constants)
         self.pna_flat_dev = jnp.asarray(self.pna_flat, jnp.int32)
@@ -179,12 +213,20 @@ class EmbeddedBoundaryCollection:
         self.radial_to_grid_plans = []
         self.ia_flat_list = []
         for e, reg in zip(self.ebdys, regs):
-            theta = e.nufft_theta(reg.ia_r)
-            plan = make_interpolator(2 * e.M, e.bdy.N, theta, reg.ia_t,
+            ia_r, ia_t = reg.ia_r, reg.ia_t
+            ia_flat = reg.ia_ix * grid.Ny + reg.ia_iy
+            if pad_quantum:
+                pad = _cap(ia_r.size, pad_quantum) - ia_r.size
+                ia_r = _pad_repeat(ia_r, pad)
+                ia_t = _pad_repeat(ia_t, pad)
+                ia_flat = np.concatenate(
+                    [ia_flat,
+                     np.full(pad, grid.Nx * grid.Ny, ia_flat.dtype)])
+            theta = e.nufft_theta(ia_r)
+            plan = make_interpolator(2 * e.M, e.bdy.N, theta, ia_t,
                                      x_offset=np.pi / (2 * e.M))
             self.radial_to_grid_plans.append(plan)
-            self.ia_flat_list.append(
-                jnp.asarray(reg.ia_ix * grid.Ny + reg.ia_iy, jnp.int32))
+            self.ia_flat_list.append(jnp.asarray(ia_flat, jnp.int32))
 
         # aggregated point sets (host coordinates) used by the solvers
         self.radial_x_list = [e.radial_x.ravel() for e in self.ebdys]

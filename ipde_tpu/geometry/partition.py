@@ -45,7 +45,8 @@ class PointPartition:
     def __init__(self, ebdyc: EmbeddedBoundaryCollection, x, y,
                  fix_r: bool = False, fix_r_band: float = 1e-8,
                  extra_capture: float = 0.0,
-                 seed: "PointPartition" = None):
+                 seed: "PointPartition" = None,
+                 pad_quantum: int = None):
         self.ebdyc = ebdyc
         x = np.asarray(x, np.float64).ravel()
         y = np.asarray(y, np.float64).ravel()
@@ -115,18 +116,40 @@ class PointPartition:
         self.zone1 = np.flatnonzero(phys & ~in_annulus)
         self.zone1_or_2 = phys
         self.n_ext = int((~phys).sum())
-        # interpolation plans
+        # interpolation plans.  pad_quantum: zone index sets and plan
+        # target lists are capacity-padded to the next multiple so that
+        # successive partitions of a MOVING point set keep identical array
+        # shapes (compiled interpolation programs are reused across
+        # timesteps via utils.planify.replan instead of recompiled).
+        # Padded slots: plan targets repeat the first real target (or a
+        # harmless constant when the zone is empty); scatter indices get
+        # the out-of-range sentinel n (dropped -- jax default FILL_OR_DROP).
+        self.pad_quantum = pad_quantum
+
+        def _padded(idx, coords):
+            if not pad_quantum:
+                return idx, coords
+            cap = int(-(-max(idx.size, 1) // pad_quantum) * pad_quantum)
+            pad = cap - idx.size
+            idx = np.concatenate([idx, np.full(pad, n, idx.dtype)])
+            coords = [np.concatenate([c, np.full(pad, c[0] if c.size
+                                                 else 0.0)])
+                      for c in coords]
+            return idx, coords
+
         g = ebdyc.grid
-        tx, ty = ebdyc.transf(x[self.zone1], y[self.zone1])
-        self.grid_plan = PeriodicInterpolator2D(g.Nx, g.Ny, tx, ty)
+        z1_idx, (tx1, ty1) = _padded(
+            self.zone1, list(ebdyc.transf(x[self.zone1], y[self.zone1])))
+        self.grid_plan = PeriodicInterpolator2D(g.Nx, g.Ny, tx1, ty1)
         self.radial_plans = []
+        self.zone2_dev = []
         for e, (z2, theta, t) in zip(ebdyc, self.zone2):
+            z2_idx, (theta_p, t_p) = _padded(z2, [theta, t])
             self.radial_plans.append(
-                make_interpolator(2 * e.M, e.bdy.N, theta, t,
+                make_interpolator(2 * e.M, e.bdy.N, theta_p, t_p,
                                   x_offset=np.pi / (2 * e.M)))
-        self.zone1_dev = jnp.asarray(self.zone1, jnp.int32)
-        self.zone2_dev = [jnp.asarray(z2, jnp.int32)
-                          for z2, _, _ in self.zone2]
+            self.zone2_dev.append(jnp.asarray(z2_idx, jnp.int32))
+        self.zone1_dev = jnp.asarray(z1_idx, jnp.int32)
 
     def interpolate(self, ef: EmbeddedFunction, exterior_value=jnp.nan):
         """Interpolate an EmbeddedFunction to the partitioned points."""
@@ -138,6 +161,26 @@ class PointPartition:
                                  ef.radials):
             refl = jnp.concatenate([fr, fr[::-1]], axis=0)
             out = out.at[idx].set(plan(refl))
+        return out
+
+    def interpolate_many(self, efs, exterior_value=jnp.nan):
+        """Interpolate B EmbeddedFunctions to the partitioned points in ONE
+        batched pass per plan: (B, n) output.  The semi-Lagrangian departure
+        solve needs six fields (u, v and their four gradients) at the same
+        points -- six separate interpolate() calls cost six device
+        dispatches and six fine-grid transforms; batched they ride one
+        (reference analogue: the stacked NUFFT of multi_boundary/scalar.py:80-88)."""
+        ebdyc = self.ebdyc
+        B = len(efs)
+        out = jnp.full((B, self.x.size), exterior_value)
+        smoothed = jnp.stack([ef.grid * ebdyc.grid_step_dev for ef in efs])
+        out = out.at[:, self.zone1_dev].set(self.grid_plan(smoothed))
+        for i_e, (plan, idx) in enumerate(zip(self.radial_plans,
+                                              self.zone2_dev)):
+            refl = jnp.stack(
+                [jnp.concatenate([ef.radials[i_e], ef.radials[i_e][::-1]],
+                                 axis=0) for ef in efs])
+            out = out.at[:, idx].set(plan(refl))
         return out
 
 

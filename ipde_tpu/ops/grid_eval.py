@@ -553,6 +553,33 @@ class _EvaluatorBase:
         self.spread_idx = jnp.asarray(flat.reshape(self.S, w * w), jnp.int32)
         self.spread_w = jnp.asarray((wx[:, :, None] * wy[:, None, :])
                                     .reshape(self.S, w * w))
+        # MATMUL spreading: the separable window factorizes the whole
+        # type-1 spread as  spread[a, b] = sum_s (q_s Wx[s, a]) Wy[s, b]
+        #                               = Wx^T @ (q[:, None] * Wy),
+        # one MXU matmul instead of a (S, w^2) scatter-add -- the scatter
+        # was the #1 sub-phase of the VG Stokeslet apply on the chip
+        # (137 of 306 ms at bench size; tools/vg_probe.py).  Dense W
+        # factors cost S*(nzx+nzy) f64; fall back to the scatter when
+        # that exceeds IPDE_SPREAD_MB (default 384 MB) or when
+        # IPDE_SPREAD=scatter.
+        import os
+        nzx, nzy = self.spread_shape
+        mb = (src_x.size * (nzx + nzy) * 8) / 2**20
+        mode = os.environ.get("IPDE_SPREAD", "").strip().lower()
+        limit = float(os.environ.get("IPDE_SPREAD_MB", 384))
+        use_mm = (mode != "scatter") and (mode == "matmul" or mb <= limit)
+        self._spread_mm = None
+        if use_mm:
+            Wx = np.zeros((self.S, nzx))
+            Wy = np.zeros((self.S, nzy))
+            rows = np.arange(self.S)[:, None]
+            if wrap:
+                np.add.at(Wx, (rows, np.mod(px, Px)), wx)
+                np.add.at(Wy, (rows, np.mod(py, Py)), wy)
+            else:
+                np.add.at(Wx, (rows, pxs), wx)
+                np.add.at(Wy, (rows, pys), wy)
+            self._spread_mm = (jnp.asarray(Wx.T), jnp.asarray(Wy))
         # window deconvolution (continuous FT at the padded wavenumbers)
         kx = 2 * np.pi * np.fft.fftfreq(Px, hx)
         ky = 2 * np.pi * np.fft.fftfreq(Py, hy)
@@ -578,11 +605,27 @@ class _EvaluatorBase:
         self.fft_plan = FourierPlan2D(Px, Py)
 
     def _spread(self, q):
+        if self._spread_mm is not None:
+            WxT, Wy = self._spread_mm
+            return jnp.matmul(WxT, q[:, None] * Wy,
+                              precision=jax.lax.Precision.HIGHEST)
         nzx, nzy = self.spread_shape
         spread = jnp.zeros(nzx * nzy)
         vals = (self.spread_w * q[:, None]).ravel()
         return spread.at[self.spread_idx.ravel()].add(vals)\
             .reshape(nzx, nzy)
+
+    def _spread_pair(self, qa, qb):
+        """Spread two source vectors; in matmul mode both ride ONE MXU
+        contraction (stacked columns)."""
+        if self._spread_mm is not None:
+            WxT, Wy = self._spread_mm
+            nzy = Wy.shape[1]
+            rhs = jnp.concatenate([qa[:, None] * Wy, qb[:, None] * Wy],
+                                  axis=1)
+            out = jnp.matmul(WxT, rhs, precision=jax.lax.Precision.HIGHEST)
+            return out[:, :nzy], out[:, nzy:]
+        return self._spread(qa), self._spread(qb)
 
     def _patch_geometry(self, src_x, src_y, r_cut):
         """Vectorized near-pair geometry ON DEVICE: every source gets one
@@ -634,24 +677,29 @@ class _EvaluatorBase:
     def _apply_patches(self, grids, patch_stacks):
         """Add per-source P x P patches to each grid in ``grids``.
         patch_stacks: list of (S, P*P) arrays aligned with ``grids``
-        (row-major patch layout, see _patch_geometry)."""
+        (row-major patch layout, see _patch_geometry).
+
+        The scan is SERIAL over sources (patches overlap, so updates must
+        compose); stacking the G grids into one (G, ext, ext) array does
+        ONE dynamic_update_slice per source instead of G -- the scan was
+        the whole cost of the 81 ms patch phase at bench size
+        (tools/vg_probe.py)."""
         m = self.margin
         Pp = self.patch_P
-        exts = tuple(jnp.zeros((self.grid.Nx + 2 * m, self.grid.Ny + 2 * m))
-                     for _ in grids)
+        G = len(grids)
+        ext = jnp.zeros((G, self.grid.Nx + 2 * m, self.grid.Ny + 2 * m))
+        stack = jnp.stack(patch_stacks, axis=1)          # (S, G, P*P)
 
-        def body(accs, inp):
-            x0, y0 = inp[-2], inp[-1]
-            out = []
-            for acc, patch in zip(accs, inp[:-2]):
-                cur = jax.lax.dynamic_slice(acc, (x0, y0), (Pp, Pp))
-                out.append(jax.lax.dynamic_update_slice(
-                    acc, cur + patch.reshape(Pp, Pp), (x0, y0)))
-            return tuple(out), None
+        def body(acc, inp):
+            patch, x0, y0 = inp
+            z = jnp.zeros((), x0.dtype)
+            cur = jax.lax.dynamic_slice(acc, (z, x0, y0), (G, Pp, Pp))
+            return jax.lax.dynamic_update_slice(
+                acc, cur + patch.reshape(G, Pp, Pp), (z, x0, y0)), None
 
-        exts, _ = jax.lax.scan(
-            body, exts, tuple(patch_stacks) + (self.patch_x0, self.patch_y0))
-        return [g + e[m:-m, m:-m] for g, e in zip(grids, exts)]
+        ext, _ = jax.lax.scan(body, ext,
+                              (stack, self.patch_x0, self.patch_y0))
+        return [g + ext[i, m:-m, m:-m] for i, g in enumerate(grids)]
 
 
 class FreespaceGridEvaluator(_EvaluatorBase):
@@ -902,8 +950,9 @@ class StokesFreespaceGridEvaluator(_EvaluatorBase):
 
     def __call__(self, wfx, wfy):
         """(S,) weighted force components -> (u, v, p) on the (Nx, Ny) grid."""
-        Fx = self.fft_plan.rfft2(self._spread(wfx))
-        Fy = self.fft_plan.rfft2(self._spread(wfy))
+        sx_, sy_ = self._spread_pair(wfx, wfy)
+        Fx = self.fft_plan.rfft2(sx_)
+        Fy = self.fft_plan.rfft2(sy_)
         kx, ky = self.kx_dev, self.ky_dev
         # w = Bhat (ky Fx - kx Fy);  u = ky w;  v = -kx w
         wre = self.multB * (ky * Fx.re - kx * Fy.re)

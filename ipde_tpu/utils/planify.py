@@ -161,3 +161,37 @@ def planified(fn: Callable, *roots, jit: bool = True):
     call.plans = store.snapshot()
     call.inner = inner
     return call
+
+
+def replan(call, *roots):
+    """Point a planified callable at a NEW object graph with the same
+    structure — e.g. this timestep's solver rebuilt on moved geometry.
+
+    Collects the new graph's plan arrays and swaps them into ``call.plans``;
+    because the jitted program receives plans as arguments, the compiled
+    executable is REUSED (no retrace, no recompile) as long as every array
+    keeps its shape and dtype.  This is what makes a moving-boundary
+    timestep cheap on TPU: the per-step solve costs one executable launch,
+    not a ~minute tunnel recompile (reference analogue: the reference is
+    eager numpy and re-runs everything each step,
+    ipde/advection/fe_advector.py:20-171).
+
+    Walk order is deterministic for identically-constructed objects
+    (attribute insertion order), so slot i of the new graph corresponds to
+    slot i of the old one; shapes/dtypes are checked defensively.
+    """
+    store = PlanStore(*roots)
+    new = store.snapshot()
+    old = call.plans
+    if len(new) != len(old):
+        raise ValueError(
+            f"replan: new graph has {len(new)} plan arrays, compiled "
+            f"program expects {len(old)} (structure changed?)")
+    for i, (a, b) in enumerate(zip(new, old)):
+        if a.shape != b.shape or a.dtype != b.dtype:
+            raise ValueError(
+                f"replan: plan slot {i} is {a.shape}/{a.dtype}, compiled "
+                f"program expects {b.shape}/{b.dtype}")
+    call.store = store
+    call.plans = new
+    return call
