@@ -233,6 +233,78 @@ class FourierPlan2D:
         c = self.rfft2(f)
         return self.irfft2_real(Cx(c.re * symbol_h, c.im * symbol_h))
 
+    def fft2_stack(self, xs):
+        """fft2 of B same-shape real arrays, both passes batched over the
+        fields (see rfft2_stack)."""
+        B = len(xs)
+        if B == 1 or self.native:
+            return [self.fft2(x) for x in xs]
+        m = xs[0].shape[1]
+        c = self._tx.fft_real(jnp.concatenate(xs, axis=1))
+        tr = jnp.concatenate([c.re[:, i * m:(i + 1) * m].T
+                              for i in range(B)], axis=1)
+        ti = jnp.concatenate([c.im[:, i * m:(i + 1) * m].T
+                              for i in range(B)], axis=1)
+        d = self._ty.fft(Cx(tr, ti))
+        nx = self.nx
+        return [Cx(d.re[:, i * nx:(i + 1) * nx].T,
+                   d.im[:, i * nx:(i + 1) * nx].T) for i in range(B)]
+
+    def ifft2_real_stack(self, cs):
+        """Real parts of the inverse fft2 of B same-shape spectra, both
+        passes batched over the fields."""
+        B = len(cs)
+        if B == 1 or self.native:
+            return [self.ifft2_real(c) for c in cs]
+        m = cs[0].re.shape[1]
+        c = self._tx.ifft(Cx(jnp.concatenate([c.re for c in cs], axis=1),
+                             jnp.concatenate([c.im for c in cs], axis=1)))
+        tr = jnp.concatenate([c.re[:, i * m:(i + 1) * m].T
+                              for i in range(B)], axis=1)
+        ti = jnp.concatenate([c.im[:, i * m:(i + 1) * m].T
+                              for i in range(B)], axis=1)
+        d = self._ty.ifft(Cx(tr, ti))
+        nx = self.nx
+        return [d.re[:, i * nx:(i + 1) * nx].T for i in range(B)]
+
+    def rfft2_stack(self, xs):
+        """rfft2 of B same-shape real arrays with BOTH matmul passes batched
+        over the fields (stacked columns: wider m per DFT matmul, one pass
+        instead of B).  Returns a list of B Cx half-spectra."""
+        B = len(xs)
+        if B == 1 or self.native:
+            return [self.rfft2(x) for x in xs]
+        m = xs[0].shape[1]
+        c = self._tx.rfft_packed(jnp.concatenate(xs, axis=1))
+        nk = c.re.shape[0]
+        tr = jnp.concatenate([c.re[:, i * m:(i + 1) * m].T
+                              for i in range(B)], axis=1)
+        ti = jnp.concatenate([c.im[:, i * m:(i + 1) * m].T
+                              for i in range(B)], axis=1)
+        d = self._ty.fft(Cx(tr, ti))
+        return [Cx(d.re[:, i * nk:(i + 1) * nk].T,
+                   d.im[:, i * nk:(i + 1) * nk].T) for i in range(B)]
+
+    def irfft2_real_corner_stack(self, cs, nx_out: int, ny_out: int,
+                                 nx0: int = 0, ny0: int = 0):
+        """irfft2_real_corner of B same-shape half-spectra, batched like
+        rfft2_stack.  Returns a list of B real (nx_out, ny_out) windows."""
+        B = len(cs)
+        if B == 1 or self.native:
+            return [self.irfft2_real_corner(c, nx_out, ny_out, nx0, ny0)
+                    for c in cs]
+        nk = cs[0].re.shape[0]
+        tr = jnp.concatenate([c.re.T for c in cs], axis=1)
+        ti = jnp.concatenate([c.im.T for c in cs], axis=1)
+        d = self._ty.ifft_trunc(Cx(tr, ti), ny0 + ny_out)
+        d = Cx(d.re[ny0:ny0 + ny_out], d.im[ny0:ny0 + ny_out])
+        pr = jnp.concatenate([d.re[:, i * nk:(i + 1) * nk].T
+                              for i in range(B)], axis=1)
+        pi = jnp.concatenate([d.im[:, i * nk:(i + 1) * nk].T
+                              for i in range(B)], axis=1)
+        out = self._tx.irfft_packed(Cx(pr, pi), n_out=nx_out, n0=nx0)
+        return [out[:, i * ny_out:(i + 1) * ny_out] for i in range(B)]
+
     def irfft2_real_corner(self, c: Cx, nx_out: int, ny_out: int,
                            nx0: int = 0, ny0: int = 0):
         """irfft2_real(c)[nx0:nx0+nx_out, ny0:ny0+ny_out] computed with

@@ -951,21 +951,19 @@ class StokesFreespaceGridEvaluator(_EvaluatorBase):
     def __call__(self, wfx, wfy):
         """(S,) weighted force components -> (u, v, p) on the (Nx, Ny) grid."""
         sx_, sy_ = self._spread_pair(wfx, wfy)
-        Fx = self.fft_plan.rfft2(sx_)
-        Fy = self.fft_plan.rfft2(sy_)
+        Fx, Fy = self.fft_plan.rfft2_stack([sx_, sy_])
         kx, ky = self.kx_dev, self.ky_dev
         # w = Bhat (ky Fx - kx Fy);  u = ky w;  v = -kx w
         wre = self.multB * (ky * Fx.re - kx * Fy.re)
         wim = self.multB * (ky * Fx.im - kx * Fy.im)
         Nx, Ny = self.grid.Nx, self.grid.Ny
-        corner = lambda cc: self.fft_plan.irfft2_real_corner(
-            cc, Nx, Ny, self.sx_cells, self.sy_cells)
-        u = corner(Cx(ky * wre, ky * wim))
-        v = corner(Cx(-kx * wre, -kx * wim))
         # p = ifft[-i (kx Fx + ky Fy) Qhat]
         sre = kx * Fx.re + ky * Fy.re
         sim = kx * Fx.im + ky * Fy.im
-        p = corner(Cx(self.multQ * sim, -self.multQ * sre))
+        u, v, p = self.fft_plan.irfft2_real_corner_stack(
+            [Cx(ky * wre, ky * wim), Cx(-kx * wre, -kx * wim),
+             Cx(self.multQ * sim, -self.multQ * sre)],
+            Nx, Ny, self.sx_cells, self.sy_cells)
         # restore the constant the (grad grad - delta lap) B form drops
         u = u + jnp.sum(wfx) / (8 * jnp.pi)
         v = v + jnp.sum(wfy) / (8 * jnp.pi)

@@ -325,8 +325,7 @@ class StokesSolver:
         kx, ky = ebdyc.kx_dev, ebdyc.ky_dev
         fuc = ebdyc.demean_function(fu.grid * ebdyc.grid_step_dev)
         fvc = ebdyc.demean_function(fv.grid * ebdyc.grid_step_dev)
-        fuh = plan.fft2(fuc)
-        fvh = plan.fft2(fvc)
+        fuh, fvh = plan.fft2_stack([fuc, fvc])
         # pressure projection: p = ilap (ikx fu + iky fv); u = ilap(ikx p - fu)
         mul_ik = lambda c, k: Cx(-c.im * k, c.re * k)
         ph = Cx((mul_ik(fuh, kx).re + mul_ik(fvh, ky).re) * self.ilap,
@@ -335,9 +334,7 @@ class StokesSolver:
                 (mul_ik(ph, kx).im - fuh.im) * self.ilap)
         vh = Cx((mul_ik(ph, ky).re - fvh.re) * self.ilap,
                 (mul_ik(ph, ky).im - fvh.im) * self.ilap)
-        uc = plan.ifft2_real(uh)
-        vc = plan.ifft2_real(vh)
-        pc = plan.ifft2_real(ph)
+        uc, vc, pc = plan.ifft2_real_stack([uh, vh, ph])
         if self.solver_type == "fourth":
             # 4th-order FD derivatives + 3rd-order polynomial interface
             # interpolation (reference: multi_boundary/vector.py:7-47)
