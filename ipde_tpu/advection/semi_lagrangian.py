@@ -176,7 +176,7 @@ class SemiLagrangianAdvector:
         vals = self.dep_partition.interpolate(f, exterior_value=0.0)
         n_pna = new_ebdyc.pna_x.size
         grid = jnp.zeros(new_ebdyc.grid.shape)
-        grid = grid.ravel().at[jnp.asarray(new_ebdyc.pna_flat, jnp.int32)]\
+        grid = grid.ravel().at[new_ebdyc.pna_flat_dev]\
             .set(vals[:n_pna]).reshape(new_ebdyc.grid.shape)
         radials = []
         start = n_pna
@@ -387,7 +387,7 @@ class SecondOrderAdvector:
                 + self.dep_partition_old.interpolate(fo, exterior_value=0.0))
         n_pna = new_ebdyc.pna_x.size
         grid = jnp.zeros(new_ebdyc.grid.shape)
-        grid = grid.ravel().at[jnp.asarray(new_ebdyc.pna_flat, jnp.int32)]\
+        grid = grid.ravel().at[new_ebdyc.pna_flat_dev]\
             .set(vals[:n_pna]).reshape(new_ebdyc.grid.shape)
         radials = []
         start = n_pna

@@ -233,11 +233,21 @@ class FourierPlan2D:
         c = self.rfft2(f)
         return self.irfft2_real(Cx(c.re * symbol_h, c.im * symbol_h))
 
+    @staticmethod
+    def _stack_on() -> bool:
+        """Field-stacked transforms are kept behind IPDE_FFT_STACK=1: on
+        the current TPU toolchain the mid-pass concatenations/transposes
+        cost MORE than the wider matmuls save (measured on chip at bench
+        size: VG Stokeslet apply 143 ms unstacked vs 269 ms stacked,
+        tools/vg_probe.py vs tools/profile_stokes.py 2026-08-19)."""
+        import os
+        return os.environ.get("IPDE_FFT_STACK", "").strip() == "1"
+
     def fft2_stack(self, xs):
         """fft2 of B same-shape real arrays, both passes batched over the
         fields (see rfft2_stack)."""
         B = len(xs)
-        if B == 1 or self.native:
+        if B == 1 or self.native or not self._stack_on():
             return [self.fft2(x) for x in xs]
         m = xs[0].shape[1]
         c = self._tx.fft_real(jnp.concatenate(xs, axis=1))
@@ -254,7 +264,7 @@ class FourierPlan2D:
         """Real parts of the inverse fft2 of B same-shape spectra, both
         passes batched over the fields."""
         B = len(cs)
-        if B == 1 or self.native:
+        if B == 1 or self.native or not self._stack_on():
             return [self.ifft2_real(c) for c in cs]
         m = cs[0].re.shape[1]
         c = self._tx.ifft(Cx(jnp.concatenate([c.re for c in cs], axis=1),
@@ -272,7 +282,7 @@ class FourierPlan2D:
         over the fields (stacked columns: wider m per DFT matmul, one pass
         instead of B).  Returns a list of B Cx half-spectra."""
         B = len(xs)
-        if B == 1 or self.native:
+        if B == 1 or self.native or not self._stack_on():
             return [self.rfft2(x) for x in xs]
         m = xs[0].shape[1]
         c = self._tx.rfft_packed(jnp.concatenate(xs, axis=1))
@@ -290,7 +300,7 @@ class FourierPlan2D:
         """irfft2_real_corner of B same-shape half-spectra, batched like
         rfft2_stack.  Returns a list of B real (nx_out, ny_out) windows."""
         B = len(cs)
-        if B == 1 or self.native:
+        if B == 1 or self.native or not self._stack_on():
             return [self.irfft2_real_corner(c, nx_out, ny_out, nx0, ny0)
                     for c in cs]
         nk = cs[0].re.shape[0]

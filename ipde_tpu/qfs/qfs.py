@@ -221,17 +221,29 @@ class QFSEvaluator:
 
 # -- kernel-specific constructors --------------------------------------------
 
-def auto_backend() -> str:
+def auto_backend(n: int = None) -> str:
     """'device' on an accelerator (matrices born on-device, blocked
     min-norm composition), 'host' on CPU (LAPACK gelsy ground truth).
-    Env override IPDE_QFS_BACKEND=host|device for A/B bisection."""
+    Env override IPDE_QFS_BACKEND=host|device for A/B bisection.
+
+    n: characteristic system size (boundary N).  Below
+    IPDE_QFS_DEVICE_MIN (default 1024) the host path wins even on TPU:
+    device formation pays dozens of eager tunnel dispatches (~30 ms
+    each through the axon link) while one-core LAPACK finishes the
+    whole small QFS in well under a second -- this is what makes a
+    moving-boundary timestep's per-step setup cheap at nb ~ 200."""
     import os
 
     import jax
     env = os.environ.get("IPDE_QFS_BACKEND")
     if env in ("host", "device"):
         return env
-    return "device" if jax.default_backend() == "tpu" else "host"
+    if jax.default_backend() != "tpu":
+        return "host"
+    if n is not None and n < int(os.environ.get("IPDE_QFS_DEVICE_MIN",
+                                                1024)):
+        return "host"
+    return "device"
 
 
 def laplace_qfs(curve: BoundaryCurve, source: BoundaryCurve, interior: bool,
@@ -242,7 +254,7 @@ def laplace_qfs(curve: BoundaryCurve, source: BoundaryCurve, interior: bool,
     SLP/DLP of densities on `curve`, matched as the one-sided limit on the
     evaluation side (`interior`=True -> limit from inside the curve:
     DLP -> PV - tau/2; from outside: PV + tau/2)."""
-    backend = backend or auto_backend()
+    backend = backend or auto_backend(curve.N)
     jump = -0.5 if interior else 0.5
     N = curve.N
     forms = []
@@ -268,7 +280,7 @@ def mh_qfs(curve: BoundaryCurve, source: BoundaryCurve, interior: bool,
            k: float, slp: bool = True, dlp: bool = True,
            rcond: float = 1e-15, build_u2s: bool = True,
            backend: str = None) -> QFSEvaluator:
-    backend = backend or auto_backend()
+    backend = backend or auto_backend(curve.N)
     jump = -0.5 if interior else 0.5
     N = curve.N
     # Yukawa SELF forms stay host-built (banded Kress split with scipy

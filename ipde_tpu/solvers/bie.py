@@ -26,16 +26,18 @@ from ipde_tpu.solvers.scalar import (ModifiedHelmholtzSolver, PoissonSolver,
 _HIGH = jax.lax.Precision.HIGHEST
 
 
-def _bie_backend() -> str:
+def _bie_backend(n: int = None) -> str:
     """BIE build backend: IPDE_BIE_BACKEND=host|device overrides (A/B
     bisection of device-built BIE blocks vs device QFS compose, which
-    share IPDE_QFS_BACKEND otherwise), else qfs.auto_backend()."""
+    share IPDE_QFS_BACKEND otherwise), else qfs.auto_backend(n) --
+    size-aware, so small moving-boundary problems assemble/invert on
+    host instead of paying eager tunnel dispatches."""
     import os
     env = os.environ.get("IPDE_BIE_BACKEND")
     if env in ("host", "device"):
         return env
     from ipde_tpu.qfs.qfs import auto_backend
-    return auto_backend()
+    return auto_backend(n)
 
 
 def _invert_system(blocks, offs, backend: str):
@@ -77,7 +79,7 @@ class DirichletBIE:
         self.solver = solver
         ebdyc = solver.ebdyc
         self.ebdyc = ebdyc
-        backend = _bie_backend()
+        backend = _bie_backend(min(e.bdy.N for e in solver.ebdyc))
         Ns = [e.bdy.N for e in ebdyc]
         offs = np.concatenate([[0], np.cumsum(Ns)])
         blocks = [[self._dlp_block(ei, ej, backend) for ej in ebdyc]
@@ -241,7 +243,7 @@ class StokesDirichletBIE:
         self.solver = solver
         ebdyc = solver.ebdyc
         self.ebdyc = ebdyc
-        backend = _bie_backend()
+        backend = _bie_backend(min(e.bdy.N for e in solver.ebdyc))
         dev = backend == "device"
         if dev:
             from ipde_tpu.ops import forms_dev as fd
@@ -405,7 +407,7 @@ class NeumannBIE:
         ebdyc = solver.ebdyc
         self.ebdyc = ebdyc
         is_mh = isinstance(solver, ModifiedHelmholtzSolver)
-        backend = _bie_backend()
+        backend = _bie_backend(min(e.bdy.N for e in solver.ebdyc))
         dev = backend == "device"
         if dev:
             from ipde_tpu.ops import forms_dev as fd

@@ -260,7 +260,7 @@ class ScalarSolver:
     def _naive_form_dev(self, src, tx, ty):
         """Device-born naive form on accelerators; host+upload otherwise."""
         from ipde_tpu.qfs.qfs import auto_backend
-        if auto_backend() == "device":
+        if auto_backend(np.asarray(tx).size) == "device":
             return self._naive_form_device(src, tx, ty)
         return jnp.asarray(self._naive_form(src, tx, ty))
 

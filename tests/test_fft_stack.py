@@ -3,10 +3,20 @@ irfft2_real_corner_stack must equal the per-field transforms exactly.
 CPU defaults to the native jnp.fft path, so the matmul/four-step batched
 code is exercised here with native=False explicitly."""
 
+import os
+
 import numpy as np
+import pytest
 
 from ipde_tpu.ops.cx import Cx
 from ipde_tpu.ops.fourier import FourierPlan2D
+
+
+@pytest.fixture(autouse=True)
+def _enable_stack(monkeypatch):
+    # the stacked paths are gated off by default (slower on the current
+    # TPU toolchain); they stay correctness-tested here
+    monkeypatch.setenv("IPDE_FFT_STACK", "1")
 
 
 def test_rfft2_stack_matches_single():
