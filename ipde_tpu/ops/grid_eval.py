@@ -346,13 +346,29 @@ class RadialTableDev:
         return (num / den).reshape(shape)
 
 
+_TABLE_CACHE: dict = {}
+
+
 def _radial_hankel_tables_dev(symfn_dev, kmax: float, L_eff: float,
-                              r_max: float, moments_dev, ntab: int = 2048):
+                              r_max: float, moments_dev, ntab: int = 2048,
+                              cache_key: tuple = None):
     """Device twin of _radial_hankel_tables: the (ntab x K) moment
     contraction runs on the accelerator with the device Bessel J
     implementations (the host version costs 30+ s of scipy at bench sizes).
     Contraction via multiply+reduce (kernel_matvec pattern: TPU dot_general
-    is erratically inaccurate on kernel-like operands)."""
+    is erratically inaccurate on kernel-like operands).
+
+    cache_key: when given, the computed tables are memoized process-wide
+    under (cache_key, kmax, L_eff, r_max, ntab).  The tables depend only
+    on the symbol parameters -- with the truncation radius L quantized
+    (_setup_box) the key repeats across moving-boundary timesteps, and
+    rebuilding a grid evaluator skips its dominant setup cost.  Shared
+    table arrays also dedupe to ONE jit argument under planify."""
+    if cache_key is not None:
+        full_key = (cache_key, float(kmax), float(L_eff), float(r_max), ntab)
+        got = _TABLE_CACHE.get(full_key)
+        if got is not None:
+            return got
     npanels = int(np.ceil(kmax * (L_eff + r_max) / (2.0 * np.pi))) + 64
     k, w = _composite_gl(0.0, kmax, npanels)
     kd = jnp.asarray(k)
@@ -369,6 +385,8 @@ def _radial_hankel_tables_dev(symfn_dev, kmax: float, L_eff: float,
             vals.append(jnp.sum(m(kd[None, :], rr[:, None]) * base[None, :],
                                 axis=1))
         out.append(RadialTableDev(r_nodes, jnp.concatenate(vals)))
+    if cache_key is not None:
+        _TABLE_CACHE[full_key] = out
     return out
 
 
@@ -492,7 +510,12 @@ class _EvaluatorBase:
         # periodic image pair must be beyond L plus the same blur margin:
         # pad_x*Lx >= L + span_x + margin (and same in y)
         marg = self.MARGIN_H * max(hx, hy) / np.pi
+        # quantize the truncation radius UP in 1.5% relative steps: L only
+        # needs to EXCEED every used pair distance, and a step-stable L
+        # keys the radial-table cache across moving-boundary timesteps
+        # (the tables were the dominant per-step evaluator-rebuild cost)
         L = maxdist + marg
+        L = float(np.exp(np.ceil(np.log(L) / 0.015) * 0.015))
         if pad is None:
             pad_x = max(int(np.ceil((L + span_x + marg) / Lx)), 2)
             pad_y = max(int(np.ceil((L + span_y + marg) / Ly)), 2)
@@ -752,8 +775,9 @@ class FreespaceGridEvaluator(_EvaluatorBase):
         r_cut = r_cut_h * max(hx, hy)
         dx, dy, rr, mask = self._patch_geometry(src_x, src_y, r_cut)
         kmax = 12.0 * eta
-        (T,) = _radial_hankel_tables_dev(symf, kmax, L, self.r_tab_max,
-                                         [_m_j0_dev])
+        (T,) = _radial_hankel_tables_dev(
+            symf, kmax, L, self.r_tab_max, [_m_j0_dev],
+            cache_key=("fs", kernel, float(kappa), float(eta)))
         rs = jnp.where(mask, rr, 1.0)
         self.patches = jnp.where(mask, gfun(rs) - T(rs), 0.0)
 
@@ -831,8 +855,9 @@ class PeriodicGridEvaluator(_EvaluatorBase):
             symf = lambda k: (jnp.exp(-(k**2 + kap2) / (4 * eta**2))
                               / (k**2 + kap2))
             kmax = 12.0 * eta
-            (T,) = _radial_hankel_tables_dev(symf, kmax, 0.0,
-                                             self.r_tab_max, [_m_j0_dev])
+            (T,) = _radial_hankel_tables_dev(
+                symf, kmax, 0.0, self.r_tab_max, [_m_j0_dev],
+                cache_key=("per-yukawa", float(kappa), float(eta)))
             corr = bessel_k0(kappa * rs) / (2 * np.pi) - T(rs)
             self.mean_shift = 0.0
         else:
@@ -906,9 +931,11 @@ class StokesFreespaceGridEvaluator(_EvaluatorBase):
         # _m_j1_over_z gives k^2 J1/z; Ta = (1/2pi) int Bhat k^3 J0;
         # A2 = Bs'' = -Ta + Tb where Tb = (1/2pi) int Bhat k^2 (J1/z) k dk
         Tb_t, Ta_t = _radial_hankel_tables_dev(
-            bsym, kmax, L, self.r_tab_max, [_m_j1_over_z_dev, _m_k2_j0_dev])
-        (Qb_t,) = _radial_hankel_tables_dev(qsym, kmax, L, self.r_tab_max,
-                                            [_m_j1_over_z_dev])
+            bsym, kmax, L, self.r_tab_max, [_m_j1_over_z_dev, _m_k2_j0_dev],
+            cache_key=("stokesB", float(eta)))
+        (Qb_t,) = _radial_hankel_tables_dev(
+            qsym, kmax, L, self.r_tab_max, [_m_j1_over_z_dev],
+            cache_key=("stokesQ", float(eta)))
         # full-patch device evaluation, masked afterwards (the weak host
         # core took ~40 s for the equivalent masked sweep at bench sizes)
         rs = jnp.where(mask, rr, 1.0)

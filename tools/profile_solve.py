@@ -78,6 +78,8 @@ def report(name, jfn, *args, latency=0.0, extra=""):
 def main():
     import jax
     jax.config.update("jax_enable_x64", True)
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     import jax.numpy as jnp
     from ipde_tpu.functions import BoundaryFunction, EmbeddedFunction
     from ipde_tpu.geometry.collection import EmbeddedBoundaryCollection

@@ -24,6 +24,8 @@ from profile_solve import sync, timeit  # noqa: E402  (same directory)
 def main():
     import jax
     jax.config.update("jax_enable_x64", True)
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     import jax.numpy as jnp
     from ipde_tpu.functions import BoundaryFunction, EmbeddedFunction
     from ipde_tpu.geometry.collection import EmbeddedBoundaryCollection
@@ -99,6 +101,81 @@ def main():
     ms, (_, st) = timeit(planified(annular, solver), fr, latency=lat)
     print(f"annular Stokes GMRES {ms:8.1f} ms  "
           f"iters={int(st['iterations'])}", flush=True)
+
+    # 2b. finer solver internals: box solve, interface stack, correct,
+    # radial->grid merge (the profile's "unaccounted" band)
+    from ipde_tpu.ops.cx import Cx
+    ebc = ebdyc
+    plan = ebc.fft_plan
+    kx, ky = ebc.kx_dev, ebc.ky_dev
+
+    def box_solve(g1, g2):
+        fuc = ebc.demean_function(g1 * ebc.grid_step_dev)
+        fvc = ebc.demean_function(g2 * ebc.grid_step_dev)
+        fuh, fvh = plan.fft2_stack([fuc, fvc])
+        mul_ik = lambda c, k: Cx(-c.im * k, c.re * k)
+        ph = Cx((mul_ik(fuh, kx).re + mul_ik(fvh, ky).re) * solver.ilap,
+                (mul_ik(fuh, kx).im + mul_ik(fvh, ky).im) * solver.ilap)
+        uh = Cx((mul_ik(ph, kx).re - fuh.re) * solver.ilap,
+                (mul_ik(ph, kx).im - fuh.im) * solver.ilap)
+        vh = Cx((mul_ik(ph, ky).re - fvh.re) * solver.ilap,
+                (mul_ik(ph, ky).im - fvh.im) * solver.ilap)
+        outs = plan.ifft2_real_stack([uh, vh, ph])
+        return outs[0], uh, vh, ph
+
+    jb = planified(box_solve, solver)
+    ms, (_, uh, vh, ph) = timeit(jb, fu.grid, fv.grid, latency=lat)
+    print(f"box solve            {ms:8.1f} ms", flush=True)
+
+    def ifc_stack(uhr, uhi, vhr, vhi, phr, phi_):
+        uh = Cx(uhr, uhi)
+        vh = Cx(vhr, vhi)
+        ph = Cx(phr, phi_)
+        mul_ik = lambda c, k: Cx(-c.im * k, c.re * k)
+        stack = Cx(
+            jnp.stack([uh.re, vh.re, ph.re, mul_ik(uh, kx).re,
+                       mul_ik(uh, ky).re, mul_ik(vh, kx).re,
+                       mul_ik(vh, ky).re]),
+            jnp.stack([uh.im, vh.im, ph.im, mul_ik(uh, kx).im,
+                       mul_ik(uh, ky).im, mul_ik(vh, kx).im,
+                       mul_ik(vh, ky).im]))
+        return ebc.interpolate_grid_to_interface_modes(stack)
+
+    ji = planified(ifc_stack, solver)
+    ms, _ = timeit(ji, uh.re, uh.im, vh.re, vh.im, ph.re, ph.im, latency=lat)
+    print(f"interface 7-stack    {ms:8.1f} ms", flush=True)
+
+    # densities (traction + QFS applies) on dummy annular output
+    zr = jnp.asarray(
+        np.random.default_rng(1).standard_normal(fu.radials[0].shape))
+    def dens(rr):
+        uvp, sg, sr = h.densities((rr, rr, rr), zero, zero, zero, zero,
+                                  zero)
+        return sg
+    jd = planified(dens, solver)
+    ms, _ = timeit(jd, zr, latency=lat)
+    print(f"densities+QFS        {ms:8.1f} ms", flush=True)
+
+    # correct: stratified radial apply + u2s
+    sgN = 2 * solver.src_Ns[0]
+    sg0 = jnp.asarray(np.random.default_rng(2).standard_normal(sgN))
+    srN = 2 * h.radial_source.N
+    sr0 = jnp.asarray(np.random.default_rng(3).standard_normal(srN))
+    def corr(rr, sg, sr):
+        return h.correct((rr, rr, rr), sg, sr, zero, zero, True)[0]
+    jc = planified(corr, solver)
+    ms, _ = timeit(jc, zr, sg0, sr0, latency=lat)
+    print(f"correct (radial)     {ms:8.1f} ms", flush=True)
+
+    # radial -> grid merge x3
+    def merge(g1, rr):
+        a = ebc.interpolate_radial_to_grid([rr], g1)
+        b = ebc.interpolate_radial_to_grid([rr], g1)
+        c_ = ebc.interpolate_radial_to_grid([rr], g1)
+        return a + b + c_
+    jm = planified(merge, solver)
+    ms, _ = timeit(jm, fu.grid, zr, latency=lat)
+    print(f"radial->grid x3      {ms:8.1f} ms", flush=True)
 
     # 3. solver-only inhomogeneous solve
     def solver_only(g1, r1, g2, r2):
