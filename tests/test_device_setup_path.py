@@ -14,7 +14,8 @@ from ipde_tpu.geometry.embedded_boundary import EmbeddedBoundary
 
 @pytest.fixture
 def device_backend(monkeypatch):
-    monkeypatch.setattr(qfs_mod, "auto_backend", lambda: "device")
+    monkeypatch.setattr(qfs_mod, "auto_backend",
+                        lambda n=None: "device")
 
 
 def _geometry(nb=300, M=12):

@@ -162,6 +162,34 @@ def main():
         print(f"pallas ds dense      failed: {type(e).__name__}: {e}",
               flush=True)
 
+    # ---- accuracy on SMOOTH densities (what the solve actually feeds):
+    # compare VG against the chunked XLA-f64 dense ground truth on a
+    # 4k-target subset; tells whether the VG pipeline is the e2e grid
+    # error floor (bench tier-1 currently 1.71e-10, grid-dominated)
+    theta = np.linspace(0, 2 * np.pi, S, endpoint=False)
+    wfs_x = jnp.asarray(np.sin(2 * theta) + 0.3 * np.cos(5 * theta))
+    wfs_y = jnp.asarray(np.cos(3 * theta) - 0.2 * np.sin(7 * theta))
+    u_vg, v_vg, p_vg = full(wfs_x, wfs_y)
+    sub = np.linspace(0, T - 1, 4096).astype(int)
+    phys_idx = np.flatnonzero(np.asarray(ebdyc.phys).ravel())
+    from ipde_tpu.ops import stokes_kernels as sk
+    os.environ["IPDE_PALLAS"] = "0"      # force the XLA-f64 ground truth
+    txs = jnp.asarray(px[sub])
+    tys = jnp.asarray(py[sub])
+    ue, ve, pe = jax.jit(lambda a, b: sk.stokes_slp_apply(
+        sxd, syd, a, b, txs, tys))(wfs_x, wfs_y)
+    del os.environ["IPDE_PALLAS"]
+    u_vg_s = np.asarray(u_vg).ravel()[phys_idx[sub]]
+    v_vg_s = np.asarray(v_vg).ravel()[phys_idx[sub]]
+    p_vg_s = np.asarray(p_vg).ravel()[phys_idx[sub]]
+    for name, a, b in (("u", u_vg_s, np.asarray(ue)),
+                       ("v", v_vg_s, np.asarray(ve)),
+                       ("p", p_vg_s, np.asarray(pe))):
+        d = float(np.abs(a - b).max())
+        print(f"  smooth |VG-exact| {name}  {d:.2e} "
+              f"(rel {d/max(float(np.abs(b).max()), 1e-300):.2e})",
+              flush=True)
+
 
 if __name__ == "__main__":
     main()
