@@ -70,7 +70,8 @@ phys = np.asarray(ebdyc.phys)
 ge = float(np.asarray(err.grid)[phys].max())
 re = max(float(np.abs(np.asarray(r)).max()) for r in err.radials)
 scale = float(np.asarray(ca.grid)[phys].max())
-print(f"coupled adv-diff: rel err {max(ge, re)/scale:.2e} after T={T}", flush=True)
+print(f"coupled adv-diff: rel err {max(ge, re)/scale:.2e} after T={T} "
+      f"(replan shape misses: {stepper.recompiles})", flush=True)
 print("final mass:", ebdyc.volume_integral(c), flush=True)
 
 # per-step cost table (VERDICT r3 item 8: device-resident timestep --

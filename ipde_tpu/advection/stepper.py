@@ -63,6 +63,8 @@ class CoupledAdvectionDiffusionStepper:
         self._jadvect = None
         self._jsolve = None
         self.last_times = {}
+        self.recompiles = 0   # replan shape misses (should stay 0)
+        self.miss_log = []    # messages of every shape miss
 
     # -- internals -----------------------------------------------------------
     def _advect_program(self, adv):
@@ -104,9 +106,11 @@ class CoupledAdvectionDiffusionStepper:
         else:
             try:
                 replan(self._jadvect, adv)
-            except ValueError:
+            except ValueError as e:
                 # a zone count crossed its capacity quantum: recompile once
                 # at the new capacity
+                self.recompiles += 1
+                self.miss_log.append(f"advect: {e}")
                 self._jadvect = planified(self._advect_program(adv), adv)
         out = self._jadvect(c.grid, *c.radials)
         c_star = EmbeddedFunction(out[0], list(out[1:]))
@@ -128,7 +132,9 @@ class CoupledAdvectionDiffusionStepper:
         else:
             try:
                 replan(self._jsolve, solver, bie)
-            except ValueError:
+            except ValueError as e:
+                self.recompiles += 1
+                self.miss_log.append(f"solve: {e}")
                 self._jsolve = planified(
                     self._solve_program(solver, bie, self._bcn), solver, bie)
         out = self._jsolve(c_star.grid, *c_star.radials)

@@ -570,6 +570,13 @@ class _EvaluatorBase:
             nzy = int(pys.max()) + 1
             if nzx > Px or nzy > Py:
                 raise ValueError("source windows exceed the padded box")
+            # round the nonzero block up to 32-multiples: the block extent
+            # follows the source curve, so without rounding every
+            # moving-boundary step changes the spread/W shapes and
+            # RECOMPILES the solve (observed 50 s/step through the tunnel);
+            # the extra zero rows cost ~nothing in the prefix transforms
+            nzx = min(Px, -(-nzx // 32) * 32)
+            nzy = min(Py, -(-nzy // 32) * 32)
             flat = pxs[:, :, None] * nzy + pys[:, None, :]
             self.sx_cells, self.sy_cells = sx, sy
             self.spread_shape = (nzx, nzy)

@@ -62,6 +62,31 @@ def _invert_system(blocks, offs, backend: str):
     return None, jnp.asarray(np.linalg.inv(A))
 
 
+def _phys_targets(ebdyc):
+    """(phys_flat, phys_x, phys_y, mask) of the physical grid points.
+
+    On a pad_quantum grid (moving-boundary stepping) the COUNT of physical
+    points changes every step, which would change these plan-array shapes
+    and force a recompile through utils.planify.replan.  Pad to the next
+    1024-multiple: padded entries point at flat index 0 with a zero mask,
+    so `grid.at[phys_flat].add(mask * vals)` is exact; extra dense-kernel
+    targets (duplicates of point 0) cost noise."""
+    idx = np.flatnonzero(ebdyc.phys).astype(np.int32)
+    px = ebdyc.grid.xg[ebdyc.phys]
+    py = ebdyc.grid.yg[ebdyc.phys]
+    if getattr(ebdyc, "pad_quantum", None):
+        n = idx.size
+        cap = -(-n // 1024) * 1024
+        pad = cap - n
+        idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
+        px = np.concatenate([px, np.full(pad, px[0])])
+        py = np.concatenate([py, np.full(pad, py[0])])
+        mask = np.concatenate([np.ones(n), np.zeros(pad)])
+        return (jnp.asarray(idx), jnp.asarray(px), jnp.asarray(py),
+                jnp.asarray(mask))
+    return jnp.asarray(idx), jnp.asarray(px), jnp.asarray(py), None
+
+
 def _solve_bie(A_dev, Ainv, rhs):
     """tau = A^{-1} rhs, with one refinement pass on the device path."""
     from ipde_tpu.ops.kernels import kernel_matvec
@@ -108,10 +133,10 @@ class DirichletBIE:
                                    k_density=ej.bdy.N // 2)
              for src, ej in zip(self.src_list, ebdyc)]
             for e in ebdyc]
-        # physical grid points (all of them: pna + in-annulus)
-        self.phys_flat = jnp.asarray(np.flatnonzero(ebdyc.phys), jnp.int32)
-        self.phys_x = jnp.asarray(ebdyc.grid.xg[ebdyc.phys])
-        self.phys_y = jnp.asarray(ebdyc.grid.yg[ebdyc.phys])
+        # physical grid points (all of them: pna + in-annulus),
+        # capacity-padded on moving-boundary grids (see _phys_targets)
+        (self.phys_flat, self.phys_x, self.phys_y,
+         self.phys_w) = _phys_targets(ebdyc)
         self.phys_mask_dev = jnp.asarray(ebdyc.phys)
         # FFT grid evaluator over the merged effective sources
         self.grid_eval = None
@@ -202,6 +227,8 @@ class DirichletBIE:
             for src, sig in zip(self.src_list, sigmas):
                 grid_vals = grid_vals + solver._apply(src, sig, self.phys_x,
                                                       self.phys_y)
+            if self.phys_w is not None:
+                grid_vals = grid_vals * self.phys_w
             new_grid = ue.grid.ravel().at[self.phys_flat].add(grid_vals)\
                 .reshape(ue.grid.shape)
         for j, (src, sig) in enumerate(zip(self.src_list, sigmas)):
@@ -307,9 +334,8 @@ class StokesDirichletBIE:
                                    k_density=ej.bdy.N // 2)
              for src, ej in zip(self.src_list, ebdyc)]
             for e in ebdyc]
-        self.phys_flat = jnp.asarray(np.flatnonzero(ebdyc.phys), jnp.int32)
-        self.phys_x = jnp.asarray(ebdyc.grid.xg[ebdyc.phys])
-        self.phys_y = jnp.asarray(ebdyc.grid.yg[ebdyc.phys])
+        (self.phys_flat, self.phys_x, self.phys_y,
+         self.phys_w) = _phys_targets(ebdyc)
         self.phys_mask_dev = jnp.asarray(ebdyc.phys)
         self.grid_eval = None
         if getattr(solver, "grid_backend", "dense") == "fft":
@@ -370,6 +396,9 @@ class StokesDirichletBIE:
                     d["x"], d["y"], sig[:src.N] * w, sig[src.N:] * w,
                     self.phys_x, self.phys_y)
                 du, dv, dp = du + gu, dv + gv, dp + gp
+            if self.phys_w is not None:
+                du, dv, dp = du * self.phys_w, dv * self.phys_w, \
+                    dp * self.phys_w
             gnew = [g.ravel().at[self.phys_flat].add(dd).reshape(sh)
                     for g, dd in zip([u.grid, v.grid, p.grid], [du, dv, dp])]
         for j, (src, sig) in enumerate(zip(self.src_list, sigmas)):
@@ -466,9 +495,8 @@ class NeumannBIE:
                                    k_density=ej.bdy.N // 2)
              for src, ej in zip(self.src_list, ebdyc)]
             for e in ebdyc]
-        self.phys_flat = jnp.asarray(np.flatnonzero(ebdyc.phys), jnp.int32)
-        self.phys_x = jnp.asarray(ebdyc.grid.xg[ebdyc.phys])
-        self.phys_y = jnp.asarray(ebdyc.grid.yg[ebdyc.phys])
+        (self.phys_flat, self.phys_x, self.phys_y,
+         self.phys_w) = _phys_targets(ebdyc)
         self.phys_mask_dev = jnp.asarray(ebdyc.phys)
         self.grid_eval = None
         if getattr(solver, "grid_backend", "dense") == "fft":
@@ -499,6 +527,8 @@ class NeumannBIE:
             for src, xi in zip(self.src_list, xis):
                 grid_vals = grid_vals + solver._apply(src, xi, self.phys_x,
                                                       self.phys_y)
+            if self.phys_w is not None:
+                grid_vals = grid_vals * self.phys_w
             new_grid = ue.grid.ravel().at[self.phys_flat].add(grid_vals)\
                 .reshape(ue.grid.shape)
         for j, (src, xi) in enumerate(zip(self.src_list, xis)):

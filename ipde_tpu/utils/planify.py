@@ -53,14 +53,15 @@ class PlanStore:
         # each slot: (container, key, treedef, leaf_spec) where leaf_spec is
         # a list of either ('arr', plan_index) or ('static', value)
         self._slots: List[Tuple[Any, Any, Any, list]] = []
+        self._slot_names: List[str] = []
         self._arrays: List[jax.Array] = []
         self._by_id = {}
         seen = set()
         for r in roots:
-            self._walk(r, seen)
+            self._walk(r, seen, type(r).__name__)
 
     # -- construction ------------------------------------------------------
-    def _walk(self, obj, seen):
+    def _walk(self, obj, seen, name):
         if id(obj) in seen:
             return
         seen.add(id(obj))
@@ -70,15 +71,16 @@ class PlanStore:
             container, keys = obj, range(len(obj))
         elif _is_ours(obj) and hasattr(obj, "__dict__"):
             container, keys = obj.__dict__, list(obj.__dict__.keys())
+            name = type(obj).__name__
         elif isinstance(obj, tuple):
             # immutable at this level; recurse into items for nested objects
             for item in obj:
-                self._walk(item, seen)
+                self._walk(item, seen, name)
             return
         else:
             return
         for k in keys:
-            self._process_slot(container, k, container[k], seen)
+            self._process_slot(container, k, container[k], seen, name)
 
     def _plan_index(self, arr) -> int:
         idx = self._by_id.get(id(arr))
@@ -88,7 +90,7 @@ class PlanStore:
             self._by_id[id(arr)] = idx
         return idx
 
-    def _process_slot(self, container, key, value, seen):
+    def _process_slot(self, container, key, value, seen, name):
         leaves, treedef = jtu.tree_flatten(value, is_leaf=_not_container)
         spec = []
         n_arr = 0
@@ -100,16 +102,36 @@ class PlanStore:
                 spec.append(("static", leaf))
         if n_arr:
             self._slots.append((container, key, treedef, spec))
+            self._slot_names.append(f"{name}.{key}")
         # recurse into non-array leaves (ipde_tpu objects, nested dicts the
         # flatten treated as leaves never occur: dicts are containers)
         for leaf in leaves:
             if not isinstance(leaf, jax.Array):
-                self._walk(leaf, seen)
+                self._walk(leaf, seen, f"{name}.{key}")
 
     # -- use -----------------------------------------------------------------
     @property
     def n_arrays(self) -> int:
         return len(self._arrays)
+
+    def slot_owner(self, plan_index: int) -> str:
+        """Human-readable owner path for a plan-array index (used by
+        replan's shape-mismatch diagnostics)."""
+        for (c, k, _td, spec), nm in zip(self._slots, self._slot_names):
+            if any(s[0] == "arr" and s[1] == plan_index for s in spec):
+                return nm
+        return "<unknown>"
+
+    def name_occurrences(self):
+        """{owner-path: [plan indices in walk order]} — the key for
+        name-based replan matching.  An array shared by several slots
+        appears under each owner's name (positional within a name)."""
+        groups = {}
+        for (_c, _k, _td, spec), nm in zip(self._slots, self._slot_names):
+            for s in spec:
+                if s[0] == "arr":
+                    groups.setdefault(nm, []).append(s[1])
+        return groups
 
     def snapshot(self) -> list:
         """The current concrete plan arrays (the jit-call operand)."""
@@ -187,11 +209,12 @@ def replan(call, *roots):
         raise ValueError(
             f"replan: new graph has {len(new)} plan arrays, compiled "
             f"program expects {len(old)} (structure changed?)")
-    for i, (a, b) in enumerate(zip(new, old)):
-        if a.shape != b.shape or a.dtype != b.dtype:
-            raise ValueError(
-                f"replan: plan slot {i} is {a.shape}/{a.dtype}, compiled "
-                f"program expects {b.shape}/{b.dtype}")
+    bad = [f"slot {i} ({store.slot_owner(i)}): {a.shape}/{a.dtype} vs "
+           f"compiled {b.shape}/{b.dtype}"
+           for i, (a, b) in enumerate(zip(new, old))
+           if a.shape != b.shape or a.dtype != b.dtype]
+    if bad:
+        raise ValueError("replan: plan shape mismatch — " + "; ".join(bad))
     call.store = store
     call.plans = new
     return call
