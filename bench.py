@@ -124,12 +124,12 @@ def run_config(nb, M, grid_target, pde, tier):
           f"nb={nb} M={M} backend={jax.default_backend()}", file=sys.stderr,
           flush=True)
 
-    jstep = planified(step, solver, bie)
+    pstep = planified(step, solver, bie)
     # executable disk cache (default ON at a per-user tempdir path;
     # IPDE_AOT_CACHE=<dir> overrides, =0 disables): reruns of the same
     # shape skip the ~150 s tunnel compile (utils/aot_cache.py)
     from ipde_tpu.utils.aot_cache import maybe_aot
-    jstep = maybe_aot(jstep, (f.grid, f.radials[0]), f"bench-{pde}-{nb}-{M}")
+    jstep = maybe_aot(pstep, (f.grid, f.radials[0]), f"bench-{pde}-{nb}-{M}")
 
     # NOTE: through remote-execution tunnels block_until_ready can return
     # before the device finishes; a scalar host fetch is the only honest
@@ -176,6 +176,28 @@ def run_config(nb, M, grid_target, pde, tier):
     except Exception as exc:
         print(f"# (stats unavailable: {exc})", file=sys.stderr, flush=True)
 
+    # MFU accounting (VERDICT r4 item 2): logical flops of the LOWERED
+    # step (pre-optimization cost analysis -- f64 ops counted once, the
+    # "useful flops" convention of tools/profile_solve.py, not the TPU
+    # f64-emulation expansion) against chip peak (IPDE_PEAK_TFLOPS,
+    # default 197 = v5e bf16).  One extra trace, no extra compile.
+    peak_tflops = float(os.environ.get("IPDE_PEAK_TFLOPS", 197.0))
+    gflops = mfu_pct = gbytes = None
+    try:
+        lowered = pstep.inner.lower(pstep.plans, f.grid, f.radials[0])
+        ca = lowered.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        gflops = float(ca.get("flops", 0.0)) / 1e9
+        gbytes = float(ca.get("bytes accessed", 0.0)) / 1e9
+        mfu_pct = 100.0 * (gflops / (ms * 1e-3)) / (peak_tflops * 1e3)
+        print(f"# mfu {mfu_pct:.3f}% of {peak_tflops:.0f} TF/s peak "
+              f"({gflops:.1f} GF, {gbytes:.1f} GB accessed, {ms:.1f} ms)",
+              file=sys.stderr, flush=True)
+    except Exception as exc:               # pragma: no cover - accounting only
+        print(f"# (mfu accounting failed: {type(exc).__name__}: {exc})",
+              file=sys.stderr, flush=True)
+
     dof = int(ebdyc.phys.sum() + sum(np.prod(e.radial_shape) for e in ebdyc))
     # reference CPU record: 891 ms inhomogeneous Poisson at 309k dof
     # (poisson_for_paper.py:128,131), linear in dof.  Stokes costs the
@@ -193,6 +215,9 @@ def run_config(nb, M, grid_target, pde, tier):
         "dof": dof,
         "grid": list(grid.shape),
         "tier": tier,
+        "mfu_pct": None if mfu_pct is None else round(mfu_pct, 4),
+        "gflops": None if gflops is None else round(gflops, 2),
+        "gbytes": None if gbytes is None else round(gbytes, 2),
     }
     print(json.dumps(rec), flush=True)
     return rec

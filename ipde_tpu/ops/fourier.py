@@ -159,9 +159,44 @@ class FourierPlan2D:
         if native is None:
             native = jax.default_backend() == "cpu"
         self.native = native
+        # multi-chip: when use_mesh is set, each DFT pass runs with its
+        # BATCH axis sharded over the mesh (the transform axis stays local)
+        # and the inter-pass transpose becomes one all-to-all (SURVEY.md
+        # 2.3(d): pjit-sharded 2D grid FFT; no reference analogue).
+        self.mesh = None
+        self.mesh_axis = "p"
         if not native:
             self._tx = self._make_axis_transform(nx)
             self._ty = self._make_axis_transform(ny)
+
+    def use_mesh(self, mesh, axis: str = "p"):
+        """Activate sharded transforms: axis-0 passes run with columns
+        sharded over `mesh` (XLA inserts the all-to-all at the transpose)."""
+        self.mesh = mesh
+        self.mesh_axis = axis
+
+    def _shard_axis(self, x, axis_idx: int):
+        """Constrain axis `axis_idx` of x (array or Cx) sharded over the
+        mesh, everything else replicated; no-op without a mesh.  Used on
+        the BATCH axis of each DFT pass so the transform axis stays local
+        and the inter-pass reshard lowers to one all-to-all."""
+        if self.mesh is None:
+            return x
+        arr = x.re if isinstance(x, Cx) else x
+        nd = int(self.mesh.devices.size)
+        if arr.shape[axis_idx] % nd != 0:
+            # GSPMD requires divisibility; leave this pass's layout to XLA
+            # (e.g. the (nx//2 + 1)-row half-spectrum axis)
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+        spec = [None] * arr.ndim
+        spec[axis_idx] = self.mesh_axis
+        ns = NamedSharding(self.mesh, PartitionSpec(*spec))
+        wsc = lambda a: jax.lax.with_sharding_constraint(a, ns)
+        return Cx(wsc(x.re), wsc(x.im)) if isinstance(x, Cx) else wsc(x)
+
+    def _shard_cols(self, x):
+        return self._shard_axis(x, -1)
 
     def _make_axis_transform(self, n):
         """Axis-0 DFT plan object (attributes hold the matrices so planify
@@ -172,28 +207,41 @@ class FourierPlan2D:
 
     def fft2(self, x) -> Cx:
         if self.native:
-            z = jnp.fft.fft2(x)
+            if self.mesh is None:
+                z = jnp.fft.fft2(x)
+            else:
+                z = jnp.fft.fft(self._shard_axis(x, 0), axis=1)
+                z = jnp.fft.fft(self._shard_axis(z, 1), axis=0)
             return Cx(jnp.real(z), jnp.imag(z))
-        c = self._tx.fft_real(x)
-        c = self._ty.fft(Cx(c.re.T, c.im.T))
+        c = self._tx.fft_real(self._shard_cols(x))
+        c = self._ty.fft(self._shard_cols(Cx(c.re.T, c.im.T)))
         return Cx(c.re.T, c.im.T)
 
     def fft2_cx(self, c: Cx) -> Cx:
         """2D DFT of a complex (Cx) array."""
         if self.native:
-            z = jnp.fft.fft2(jax.lax.complex(c.re, c.im))
+            z = jax.lax.complex(c.re, c.im)
+            if self.mesh is None:
+                z = jnp.fft.fft2(z)
+            else:
+                z = jnp.fft.fft(self._shard_axis(z, 0), axis=1)
+                z = jnp.fft.fft(self._shard_axis(z, 1), axis=0)
             return Cx(jnp.real(z), jnp.imag(z))
-        c = self._tx.fft(c)
-        c = self._ty.fft(Cx(c.re.T, c.im.T))
+        c = self._tx.fft(self._shard_cols(c))
+        c = self._ty.fft(self._shard_cols(Cx(c.re.T, c.im.T)))
         return Cx(c.re.T, c.im.T)
 
     def ifft2_real(self, c: Cx):
         """Real part of the inverse 2D DFT of c."""
         if self.native:
             z = jax.lax.complex(c.re, c.im)
-            return jnp.real(jnp.fft.ifft2(z))
-        c = self._tx.ifft(c)
-        c = self._ty.ifft(Cx(c.re.T, c.im.T))
+            if self.mesh is None:
+                return jnp.real(jnp.fft.ifft2(z))
+            z = jnp.fft.ifft(self._shard_axis(z, 0), axis=1)
+            z = jnp.fft.ifft(self._shard_axis(z, 1), axis=0)
+            return jnp.real(z)
+        c = self._tx.ifft(self._shard_cols(c))
+        c = self._ty.ifft(self._shard_cols(Cx(c.re.T, c.im.T)))
         return c.re.T
 
     def rfft2(self, x) -> Cx:
@@ -210,10 +258,13 @@ class FourierPlan2D:
             if x.shape != (self.nx, self.ny):
                 x = jnp.pad(x, ((0, self.nx - x.shape[0]),
                                 (0, self.ny - x.shape[1])))
-            z = jnp.fft.fft(jnp.fft.rfft(x, axis=0), axis=1)
+            z = jnp.fft.rfft(self._shard_cols(x), axis=0)
+            if self.mesh is not None:
+                z = self._shard_axis(z, 0)
+            z = jnp.fft.fft(z, axis=1)
             return Cx(jnp.real(z), jnp.imag(z))
-        c = self._tx.rfft_packed(x)
-        c = self._ty.fft(Cx(c.re.T, c.im.T))
+        c = self._tx.rfft_packed(self._shard_cols(x))
+        c = self._ty.fft(self._shard_cols(Cx(c.re.T, c.im.T)))
         return Cx(c.re.T, c.im.T)
 
     def irfft2_real(self, c: Cx):
@@ -222,10 +273,11 @@ class FourierPlan2D:
         a real field; the missing rows are reconstructed by symmetry after
         the y-pass and the x-pass packs column pairs."""
         if self.native:
-            z = jnp.fft.ifft(jax.lax.complex(c.re, c.im), axis=1)
-            return jnp.fft.irfft(z, n=self.nx, axis=0)
-        d = self._ty.ifft(Cx(c.re.T, c.im.T))
-        return self._tx.irfft_packed(Cx(d.re.T, d.im.T))
+            z = jnp.fft.ifft(self._shard_axis(jax.lax.complex(c.re, c.im),
+                                              0), axis=1)
+            return jnp.fft.irfft(self._shard_cols(z), n=self.nx, axis=0)
+        d = self._ty.ifft(self._shard_cols(Cx(c.re.T, c.im.T)))
+        return self._tx.irfft_packed(self._shard_cols(Cx(d.re.T, d.im.T)))
 
     def solve_symbol_r(self, f, symbol_h):
         """ifft2(fft2(f) * symbol).real via the half-spectrum path;
@@ -322,14 +374,16 @@ class FourierPlan2D:
         unpadded window is used, and truncating the y-pass halves the
         x-pass's width."""
         if self.native:
-            z = jnp.fft.ifft(jax.lax.complex(c.re, c.im), axis=1)
-            return jnp.fft.irfft(z[:, ny0:ny0 + ny_out], n=self.nx,
-                                 axis=0)[nx0:nx0 + nx_out]
-        d = self._ty.ifft_trunc(Cx(c.re.T, c.im.T), ny0 + ny_out)
+            z = jnp.fft.ifft(self._shard_axis(jax.lax.complex(c.re, c.im),
+                                              0), axis=1)
+            return jnp.fft.irfft(self._shard_cols(z[:, ny0:ny0 + ny_out]),
+                                 n=self.nx, axis=0)[nx0:nx0 + nx_out]
+        d = self._ty.ifft_trunc(self._shard_cols(Cx(c.re.T, c.im.T)),
+                                ny0 + ny_out)
         # four-step ifft_trunc returns ceil(n/n1)*n1 rows; slice to exactly
         # the requested window before the x-pass
         d = Cx(d.re[ny0:ny0 + ny_out], d.im[ny0:ny0 + ny_out])
-        return self._tx.irfft_packed(Cx(d.re.T, d.im.T),
+        return self._tx.irfft_packed(self._shard_cols(Cx(d.re.T, d.im.T)),
                                      n_out=nx_out, n0=nx0)
 
     def solve_symbol(self, f, symbol):

@@ -141,22 +141,52 @@ def _solve_jit_batched(ops_stacked: AnnularOps, rhs_stacked: jax.Array,
     return jax.vmap(one)(ops_stacked, rhs_stacked)
 
 
-def batched_annular_solve(solvers, metrics, rhss, tol, maxiter, restart):
+def shard_boundary_axis(mesh, tree, axis: str = "p"):
+    """Shard the leading (boundary) axis of every leaf of `tree` over the
+    mesh (SURVEY.md 2.3(b): per-boundary annular GMRES distributed over
+    ICI).  B is padded to a multiple of the device count by repeating the
+    first boundary; callers slice outputs back to B rows.  Returns
+    (sharded_tree, padded_B).  No-op (tree, B) without a mesh."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    B = leaves[0].shape[0]
+    if mesh is None:
+        return tree, B
+    nd = mesh.devices.size
+    pad = (-B) % nd
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def put(x):
+        if pad:
+            x = jnp.concatenate([x] + [x[:1]] * pad, axis=0)
+        spec = PartitionSpec(*([axis] + [None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, tree), B + pad
+
+
+def batched_annular_solve(solvers, metrics, rhss, tol, maxiter, restart,
+                          mesh=None):
     """Solve B same-shape annular problems in ONE device dispatch.
 
     solvers/metrics are per-boundary; rhss is a list of (M, n) right-hand
     sides ALREADY in residual layout (R02 @ f rows + BC rows).  Returns
     (list of (M, n) solutions, stats dict with per-boundary iterations).
+    With a mesh, the boundary axis is sharded over its devices (one lane
+    group per device; the vmapped while_loop's convergence test is the
+    only cross-device collective).
     """
     ops_list = [s.make_ops(m) for s, m in zip(solvers, metrics)]
     ops_stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ops_list)
     rhs_stacked = jnp.stack([r.ravel() for r in rhss])
+    ops_stacked, _ = shard_boundary_axis(mesh, ops_stacked)
+    rhs_stacked, _ = shard_boundary_axis(mesh, rhs_stacked)
     M, n = solvers[0].M, solvers[0].n
     u, iters, resid = _solve_jit_batched(ops_stacked, rhs_stacked, M, n,
                                          maxiter, restart, jnp.asarray(tol),
                                          use_f32_precond(tol))
     us = [u[i] for i in range(len(solvers))]
-    return us, {"iterations": iters, "residual": resid}
+    return us, {"iterations": iters[:len(solvers)],
+                "residual": resid[:len(solvers)]}
 
 
 class AnnularScalarSolver:

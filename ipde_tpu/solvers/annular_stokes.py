@@ -182,23 +182,29 @@ def _solve_jit_batched(ops_stacked: StokesOps, rhs_stacked, M: int, n: int,
     return jax.vmap(one)(ops_stacked, rhs_stacked)
 
 
-def batched_stokes_solve(solvers, metrics, rhss, tol, maxiter, restart):
+def batched_stokes_solve(solvers, metrics, rhss, tol, maxiter, restart,
+                         mesh=None):
     """Solve B same-shape annular Stokes problems in ONE device dispatch.
 
     rhss: list of flat RHS vectors from AnnularStokesSolver.build_rhs.
-    Returns (list of (ur, ut, p_full) triples, stats dict)."""
+    Returns (list of (ur, ut, p_full) triples, stats dict).  With a mesh,
+    the boundary axis is sharded over its devices (SURVEY.md 2.3(b))."""
     ops_list = [s.make_ops(m) for s, m in zip(solvers, metrics)]
     ops_stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ops_list)
     rhs_stacked = jnp.stack(rhss)
+    from ipde_tpu.solvers.annular_scalar import (shard_boundary_axis,
+                                                 use_f32_precond)
+    ops_stacked, _ = shard_boundary_axis(mesh, ops_stacked)
+    rhs_stacked, _ = shard_boundary_axis(mesh, rhs_stacked)
     M, n = solvers[0].M, solvers[0].n
-    from ipde_tpu.solvers.annular_scalar import use_f32_precond
     ur, ut, p, iters, resid = _solve_jit_batched(
         ops_stacked, rhs_stacked, M, n, maxiter, restart, jnp.asarray(tol),
         use_f32_precond(tol))
     outs = [(ur[i], ut[i],
              jnp.matmul(s.P10, p[i], precision=_HIGH))
             for i, s in enumerate(solvers)]
-    return outs, {"iterations": iters, "residual": resid}
+    return outs, {"iterations": iters[:len(solvers)],
+                  "residual": resid[:len(solvers)]}
 
 
 class AnnularStokesSolver:

@@ -199,6 +199,11 @@ class DirichletBIE:
                  bc: BoundaryFunction) -> EmbeddedFunction:
         """Correct ue so that it satisfies u = bc on every boundary."""
         solver = self.solver
+        if (self.grid_eval is not None
+                and self.grid_eval.fft_plan.mesh is not solver._mesh):
+            # follow the solver's use_mesh state even when the BIE was
+            # built before the mesh was activated (SURVEY.md 2.3(d))
+            self.grid_eval.fft_plan.use_mesh(solver._mesh)
         bvs = solver.get_boundary_values(ue)
         # -(v - b), NOT (b - v): the TPU X64 rewriter miscompiles
         # subtract(constant, computed) to f32 accuracy (measured 6e-8;
@@ -355,6 +360,9 @@ class StokesDirichletBIE:
         """Correct (u, v, p) to satisfy the velocity boundary conditions."""
         from ipde_tpu.ops import stokes_kernels as sk
         solver = self.solver
+        if (self.grid_eval is not None
+                and self.grid_eval.fft_plan.mesh is not solver._mesh):
+            self.grid_eval.fft_plan.use_mesh(solver._mesh)
         bu = solver.get_boundary_values(u)
         bv = solver.get_boundary_values(v)
         # -(computed - constant): see DirichletBIE.apply_bc

@@ -220,8 +220,14 @@ class ScalarSolver:
         (merged sigma_g -> targets, per-source corrections, BIE fields) run
         target-sharded over the mesh (SURVEY.md 2.3(c); the sigma_g
         coupling point at multi_boundary/scalar.py:104-105 becomes the
-        all-gather)."""
+        all-gather).  Also shards the 2D grid FFT passes (box solve + VG
+        evaluator, SURVEY.md 2.3(d)) and the boundary axis of the batched
+        annular GMRES (2.3(b))."""
         self._mesh = mesh
+        self.ebdyc.fft_plan.use_mesh(mesh)
+        ge = getattr(self, "grid_eval", None)
+        if ge is not None:
+            ge.fft_plan.use_mesh(mesh)
 
     def _make_grid_evaluator(self, gx, gy):
         raise NotImplementedError
@@ -333,7 +339,7 @@ class ScalarSolver:
             urs, bstats = batched_annular_solve(
                 [h.annular_solver for h in self.helpers],
                 [h.metric for h in self.helpers], rhss, tol, maxiter,
-                restart)
+                restart, mesh=self._mesh)
             stats = {"annular_iterations": bstats["iterations"],
                      "annular_residuals": bstats["residual"]}
             sig_gs, sig_rs = [], []

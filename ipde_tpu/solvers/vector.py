@@ -299,8 +299,14 @@ class StokesSolver:
 
     def use_mesh(self, mesh):
         """Activate multi-chip sharding of the dense Stokeslet applies
-        (target-sharded over the mesh; SURVEY.md 2.3(c))."""
+        (target-sharded over the mesh; SURVEY.md 2.3(c)), the 2D grid FFT
+        passes (box solve + VG evaluator, 2.3(d)), and the boundary axis
+        of the batched annular Stokes GMRES (2.3(b))."""
         self._mesh = mesh
+        self.ebdyc.fft_plan.use_mesh(mesh)
+        ge = getattr(self, "grid_eval", None)
+        if ge is not None:
+            ge.fft_plan.use_mesh(mesh)
 
     def _apply_stokes(self, sx, sy, wfx, wfy, tx, ty):
         if self._mesh is not None:
@@ -376,7 +382,7 @@ class StokesSolver:
             uvp_rts, bstats = batched_stokes_solve(
                 [h.annular_solver for h in self.helpers],
                 [h.metric for h in self.helpers], rhss, tol, maxiter,
-                restart)
+                restart, mesh=self._mesh)
             stats = {"annular_iterations": bstats["iterations"],
                      "annular_residuals": bstats["residual"]}
             for h, uvp_rt, bu, bv, txx, txy, tyy in zip(
