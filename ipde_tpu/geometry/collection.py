@@ -285,6 +285,26 @@ class EmbeddedBoundaryCollection:
             flat = flat.at[idx].set(vals)
         return flat.reshape(grid_vals.shape)
 
+    def interpolate_radial_to_grid_many(self, radials_list, grid_vals_list):
+        """Batched interpolate_radial_to_grid for F fields at once.
+
+        radials_list: per-field lists of per-boundary (M, N_b) radials;
+        grid_vals_list: F grid arrays.  The per-boundary interpolation
+        plans evaluate all F fields in ONE pass (shared row-gathers /
+        phase matmuls; see ops/interp._many_from_modes), which measures
+        ~3x cheaper than F separate passes at bench sizes."""
+        F = len(grid_vals_list)
+        flats = [g.ravel() for g in grid_vals_list]
+        shapes = [g.shape for g in grid_vals_list]
+        for b, (plan, idx) in enumerate(zip(self.radial_to_grid_plans,
+                                            self.ia_flat_list)):
+            refls = jnp.stack(
+                [jnp.concatenate([radials_list[f][b], radials_list[f][b][::-1]],
+                                 axis=0) for f in range(F)])
+            vals = plan(refls)                      # (F, T)
+            flats = [fl.at[idx].set(v) for fl, v in zip(flats, vals)]
+        return [fl.reshape(s) for fl, s in zip(flats, shapes)]
+
     def interpolate_radial_to_boundary(self, radials):
         return [jnp.matmul(jnp.asarray(e.interp_f_to_bdy), fr, precision=_HIGH)
                 for e, fr in zip(self.ebdys, radials)]
@@ -336,8 +356,9 @@ class EmbeddedBoundaryCollection:
             fxr, fyr = self._radial_gradient(e, fr)
             fxrs.append(fxr)
             fyrs.append(fyr)
-        fx = self.interpolate_radial_to_grid(fxrs, fx) * self.phys_dev
-        fy = self.interpolate_radial_to_grid(fyrs, fy) * self.phys_dev
+        fx, fy = self.interpolate_radial_to_grid_many([fxrs, fyrs], [fx, fy])
+        fx = fx * self.phys_dev
+        fy = fy * self.phys_dev
         return (EmbeddedFunction(fx, fxrs), EmbeddedFunction(fy, fyrs))
 
     def laplacian(self, ef: EmbeddedFunction,

@@ -155,3 +155,64 @@ def gmres(matvec: Callable, b: jax.Array, precond: Optional[Callable] = None,
             jnp.asarray(False))
     _, x, iters, resid, _ = jax.lax.while_loop(outer_cond, outer_body, init)
     return GmresResult(x, iters, resid)
+
+
+def gmres_ir(matvec: Callable, b: jax.Array, matvec32: Callable,
+             precond32: Optional[Callable] = None, tol: float = 1e-14,
+             maxiter: int = 100, restart: int = 30,
+             inner_tol: float = 1e-4) -> GmresResult:
+    """Mixed-precision iterative-refinement GMRES (TPU: f64 is emulated at
+    ~10-30x the cost of native f32, and the annular solves' per-iteration
+    matvec/precond/CGS2 are ALL sub-millisecond in f32 but ~13 ms in f64 --
+    tools/annular_probe.py 2026-08-20).
+
+    Outer loop (f64): compute the true residual r = b - A x, stop when
+    ||r|| <= tol ||b||.  Inner solve (f32): one FGMRES(restart) cycle on the
+    NORMALIZED residual with the f32 operator and preconditioner, reducing
+    it by ~inner_tol; the f64 correction x += ||r|| * d recovers full
+    accuracy.  Standard IR-with-Krylov-correction structure (Turner &
+    Walker '92); accuracy is set entirely by the f64 residual replay.
+
+    inner_tol must sit WELL ABOVE the f32 noise floor: the f32
+    matvec+preconditioner stall near ~1e-5 relative (measured: inner
+    cycles to 3e-6 burn a full restart of iterations where the f64 rate
+    predicts ~8), so 1e-4 per cycle x a few cycles is the cheap regime.
+
+    The returned residual is the honestly recomputed f64 relative residual
+    of the final x (NOT the inner Arnoldi estimate)."""
+    dtype = b.dtype
+    bnorm = jnp.linalg.norm(b)
+    safe_bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
+    x0 = jnp.zeros_like(b)
+    max_outer = max(2, (maxiter + restart - 1) // restart)
+
+    def cond(state):
+        k, x, tot, resid, done = state
+        return jnp.logical_and(k < max_outer, jnp.logical_not(done))
+
+    def body(state):
+        k, x, tot, resid, done = state
+        r = b - matvec(x)
+        rnorm = jnp.linalg.norm(r)
+        resid = rnorm / safe_bnorm
+        done = resid <= tol
+
+        def refine(arg):
+            x, tot = arg
+            safe = jnp.where(rnorm > 0, rnorm, 1.0)
+            r32 = (r / safe).astype(jnp.float32)
+            inner = gmres(matvec32, r32, precond=precond32,
+                          tol=inner_tol, maxiter=restart, restart=restart,
+                          flexible=precond32 is not None)
+            return (x + safe * inner.x.astype(dtype),
+                    tot + inner.iterations)
+
+        x, tot = jax.lax.cond(done, lambda a: a, refine, (x, tot))
+        return (k + 1, x, tot, resid, done)
+
+    init = (0, x0, jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, dtype),
+            jnp.asarray(False))
+    _, x, tot, resid, done = jax.lax.while_loop(cond, body, init)
+    # honest final residual (resid in-state lags the last correction)
+    final = jnp.linalg.norm(b - matvec(x)) / safe_bnorm
+    return GmresResult(x, tot, final)

@@ -281,38 +281,52 @@ class HybridInterp2D:
         self.fine_y = _axis_ifft(nfy)
 
     def _one_from_modes(self, c: Cx):
+        return self._many_from_modes(Cx(c.re[None], c.im[None]))[0]
+
+    def _many_from_modes(self, c: Cx):
+        """Batched evaluation of B mode arrays (B, nx, ny) -> (B, T).
+
+        The fields ride the GEMM/gather minor axis: the fine y-pass is ONE
+        matmul of width B*nx instead of B, and each stencil row-gather
+        serves every field (the gather's row fetch already pays a full
+        128-lane tile, so widening nx -> B*nx is nearly free on TPU)."""
+        B = c.re.shape[0]
         scale = self.nfy / (self.nx * self.ny)
         d = self.deconv_y * scale
-        dre = (c.re * d[None, :]).T            # (ny, nx)
-        dim_ = (c.im * d[None, :]).T
+        # (B, nx, ny) -> (ny, B*nx) with per-field column groups
+        dre = (c.re * d[None, None, :]).transpose(2, 0, 1)\
+            .reshape(self.ny, B * self.nx)
+        dim_ = (c.im * d[None, None, :]).transpose(2, 0, 1)\
+            .reshape(self.ny, B * self.nx)
         hy = self.ny // 2
         ry = self.ny - hy
-        zre = jnp.zeros((self.nfy, self.nx), dre.dtype)
+        zre = jnp.zeros((self.nfy, B * self.nx), dre.dtype)
         pre = zre.at[:hy].set(dre[:hy]).at[self.nfy - ry:].set(dre[hy:])
         pim = zre.at[:hy].set(dim_[:hy]).at[self.nfy - ry:].set(dim_[hy:])
-        F = self.fine_y.ifft(Cx(pre, pim))     # (nfy, nx) fine in y
-        acc = jnp.zeros((self.T,), F.re.dtype)
-        # stencil-axis loop with (T, nx) intermediates: [T, w, nx] stacks
+        F = self.fine_y.ifft(Cx(pre, pim))     # (nfy, B*nx) fine in y
+        acc = jnp.zeros((self.T, B), F.re.dtype)
+        # stencil-axis loop with (T, B*nx) intermediates: [T, w, nx] stacks
         # would tile to (8,128) minor blocks and blow up HBM traffic
         for q in range(self.w):
             idx = self.row_idx[:, q]
-            pr = jnp.take(F.re, idx, axis=0)
-            pi = jnp.take(F.im, idx, axis=0)
-            val = jnp.sum(pr * self.Er - pi * self.Ei, axis=1)
-            acc = acc + self.wy[:, q] * val
-        return acc
+            pr = jnp.take(F.re, idx, axis=0).reshape(self.T, B, self.nx)
+            pi = jnp.take(F.im, idx, axis=0).reshape(self.T, B, self.nx)
+            val = jnp.sum(pr * self.Er[:, None, :] - pi * self.Ei[:, None, :],
+                          axis=2)              # (T, B)
+            acc = acc + self.wy[:, q, None] * val
+        return acc.T
 
     def from_modes(self, c: Cx):
         batched = c.re.ndim == 3
         if not batched:
             return self._one_from_modes(c)
-        return jax.vmap(self._one_from_modes)(c)
+        return self._many_from_modes(c)
 
     def __call__(self, f):
         batched = f.ndim == 3
         fs = f if batched else f[None]
         cs = jax.vmap(self.base_plan.fft2)(fs)
-        out = jax.vmap(self._one_from_modes)(cs)
+        out = self._many_from_modes(cs)
         return out if batched else out[0]
 
 
@@ -422,6 +436,14 @@ class ExactInterp2D:
             self.EXi = jnp.asarray(np.sin(np.outer(txa, kxn)))
 
     def _one_from_modes(self, c: Cx):
+        return self._many_from_modes(Cx(c.re[None], c.im[None]))[0]
+
+    def _many_from_modes(self, c: Cx):
+        """Batched evaluation of (B, nx, ny) mode arrays -> (B, T): the
+        (T, ny)/(T, nx) trig phase matrices (the dominant cost when not
+        precomputed -- f64 transcendentals are emulated on TPU) are built
+        ONCE and shared by every field via column-stacked GEMMs."""
+        B = c.re.shape[0]
         if self.precomp:
             ey_re, ey_im = self.EYr, self.EYi
             ex_re, ex_im = self.EXr, self.EXi
@@ -430,23 +452,30 @@ class ExactInterp2D:
             ey_im = jnp.sin(self.ty[:, None] * self.ky[None, :])
             ex_re = jnp.cos(self.tx[:, None] * self.kx[None, :])
             ex_im = jnp.sin(self.tx[:, None] * self.kx[None, :])
-        g_re = (jnp.matmul(ey_re, c.re.T, precision=_HIGH)
-                - jnp.matmul(ey_im, c.im.T, precision=_HIGH))
-        g_im = (jnp.matmul(ey_re, c.im.T, precision=_HIGH)
-                + jnp.matmul(ey_im, c.re.T, precision=_HIGH))
-        return jnp.sum(ex_re * g_re - ex_im * g_im, axis=1) / (self.nx * self.ny)
+        # (B, nx, ny) -> (ny, B*nx) with per-field column groups
+        CR = c.re.transpose(2, 0, 1).reshape(self.ny, B * self.nx)
+        CI = c.im.transpose(2, 0, 1).reshape(self.ny, B * self.nx)
+        g_re = (jnp.matmul(ey_re, CR, precision=_HIGH)
+                - jnp.matmul(ey_im, CI, precision=_HIGH))
+        g_im = (jnp.matmul(ey_re, CI, precision=_HIGH)
+                + jnp.matmul(ey_im, CR, precision=_HIGH))
+        g_re = g_re.reshape(self.T, B, self.nx)
+        g_im = g_im.reshape(self.T, B, self.nx)
+        out = jnp.sum(ex_re[:, None, :] * g_re - ex_im[:, None, :] * g_im,
+                      axis=2)                   # (T, B)
+        return out.T / (self.nx * self.ny)
 
     def from_modes(self, c: Cx):
         batched = c.re.ndim == 3
         if not batched:
             return self._one_from_modes(c)
-        return jax.vmap(self._one_from_modes)(c)
+        return self._many_from_modes(c)
 
     def __call__(self, f):
         batched = f.ndim == 3
         fs = f if batched else f[None]
         cs = jax.vmap(self.base_plan.fft2)(fs)
-        out = jax.vmap(self._one_from_modes)(cs)
+        out = self._many_from_modes(cs)
         return out if batched else out[0]
 
 
@@ -466,7 +495,13 @@ def make_interpolator(nx: int, ny: int, tx, ty, x_offset: float = 0.0,
     # 2048^2 Stokes step on a 16 GB chip).  Bound the intermediate size,
     # not just the flops.
     exact_mem_ok = T * max(nx, ny) <= 2 ** 21
-    if (nx * ny <= exact_max_modes
+    # radial-style plans (nx = 2M <= 64) with MANY targets: the exact
+    # path's on-the-fly (T, ny) f64 trig dominates (measured 208.9 ms for
+    # 3 fields at nb=1200, T~1e5, tools/profile_stokes.py 2026-08-20);
+    # the hybrid window path replaces it with one small fine transform
+    # plus w row-gathers.
+    exact_T_ok = T <= 4 * exact_max_targets
+    if ((nx * ny <= exact_max_modes and (nx > 64 or exact_T_ok))
             or (T <= exact_max_targets and exact_flops < nufft_flops
                 and exact_mem_ok)):
         return ExactInterp2D(nx, ny, tx, ty, x_offset, y_offset)

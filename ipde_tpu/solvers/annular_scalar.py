@@ -34,9 +34,31 @@ from ipde_tpu.geometry.annular import AnnularGeometry, AnnularMetric
 from ipde_tpu.ops.cx import Cx
 from ipde_tpu.ops.fourier import (TanPlan, make_tan_plan, tan_cast,
                                   tan_deriv, tan_irfft, tan_rfft)
-from ipde_tpu.ops.gmres import gmres
+from ipde_tpu.ops.gmres import gmres, gmres_ir
 
 _HIGH = jax.lax.Precision.HIGHEST
+
+
+def use_annular_mp() -> bool:
+    """Mixed-precision annular GMRES (ops/gmres.gmres_ir: f32 inner FGMRES
+    cycles + f64 residual replay).  Default ON on TPU, where f64 arithmetic
+    is emulated ~10-30x slower than native f32 and the solve accuracy is
+    set by the f64 replay, not the inner precision (measured e2e err
+    unchanged, tier-1 annular phase ~200 -> <100 ms).  IPDE_ANNULAR_MP=0/1
+    overrides."""
+    import os
+    env = os.environ.get("IPDE_ANNULAR_MP", "").strip()
+    if env in ("0", "1"):
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
+def cast_ops_f32(ops):
+    """f32 twin of an operator bundle (every f64 leaf cast; the TanPlan
+    matrices ride along as pytree leaves)."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32)
+        if a.dtype == jnp.float64 else a, ops)
 
 
 class AnnularOps(NamedTuple):
@@ -112,30 +134,39 @@ def _precond(ops: AnnularOps, r_flat: jax.Array, M: int, n: int,
     return tan_irfft(Cx(ore, oim), ops.tan).ravel()
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 7))
+def _run_gmres(ops: AnnularOps, rhs_flat: jax.Array, M: int, n: int,
+               maxiter: int, restart: int, tol, f32pc: bool, mp: bool):
+    mv = lambda v: _matvec(ops, v, M, n)
+    if mp:
+        ops32 = cast_ops_f32(ops)
+        mv32 = lambda v: _matvec(ops32, v, M, n)
+        pc32 = lambda v: _precond(ops32, v, M, n)
+        return gmres_ir(mv, rhs_flat, mv32, pc32, tol=tol,
+                        maxiter=maxiter, restart=restart)
+    pc = lambda v: _precond(ops, v, M, n, f32pc)
+    return gmres(mv, rhs_flat, precond=pc, tol=tol, maxiter=maxiter,
+                 restart=restart, flexible=f32pc)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 7, 8))
 def _solve_jit(ops: AnnularOps, rhs_flat: jax.Array, M: int, n: int,
                maxiter: int, restart: int, tol: jax.Array,
-               f32pc: bool = False):
-    mv = lambda v: _matvec(ops, v, M, n)
-    pc = lambda v: _precond(ops, v, M, n, f32pc)
-    res = gmres(mv, rhs_flat, precond=pc, tol=tol, maxiter=maxiter,
-                restart=restart, flexible=f32pc)
+               f32pc: bool = False, mp: bool = False):
+    res = _run_gmres(ops, rhs_flat, M, n, maxiter, restart, tol, f32pc, mp)
     return res.x.reshape(M, n), res.iterations, res.residual
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 7))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 7, 8))
 def _solve_jit_batched(ops_stacked: AnnularOps, rhs_stacked: jax.Array,
                        M: int, n: int, maxiter: int, restart: int,
-                       tol: jax.Array, f32pc: bool = False):
+                       tol: jax.Array, f32pc: bool = False,
+                       mp: bool = False):
     """vmapped GMRES over the BOUNDARY axis: one dispatch for B same-shape
     annular solves (SURVEY.md 2.3(b): the per-mode/boundary axes are
     embarrassingly batched).  ops leaves carry a leading B axis."""
 
     def one(ops, rhs):
-        mv = lambda v: _matvec(ops, v, M, n)
-        pc = lambda v: _precond(ops, v, M, n, f32pc)
-        res = gmres(mv, rhs, precond=pc, tol=tol, maxiter=maxiter,
-                    restart=restart, flexible=f32pc)
+        res = _run_gmres(ops, rhs, M, n, maxiter, restart, tol, f32pc, mp)
         return res.x.reshape(M, n), res.iterations, res.residual
 
     return jax.vmap(one)(ops_stacked, rhs_stacked)
@@ -183,7 +214,8 @@ def batched_annular_solve(solvers, metrics, rhss, tol, maxiter, restart,
     M, n = solvers[0].M, solvers[0].n
     u, iters, resid = _solve_jit_batched(ops_stacked, rhs_stacked, M, n,
                                          maxiter, restart, jnp.asarray(tol),
-                                         use_f32_precond(tol))
+                                         use_f32_precond(tol),
+                                         use_annular_mp())
     us = [u[i] for i in range(len(solvers))]
     return us, {"iterations": iters[:len(solvers)],
                 "residual": resid[:len(solvers)]}
@@ -271,7 +303,7 @@ class AnnularScalarSolver:
         rhs = self.build_rhs(f, g_lb, g_ub)
         u, iters, resid = _solve_jit(ops, rhs.ravel(), self.M, self.n,
                                      maxiter, restart, jnp.asarray(tol),
-                                     use_f32_precond(tol))
+                                     use_f32_precond(tol), use_annular_mp())
         if not isinstance(iters, jax.core.Tracer):
             self.iterations_last_call = int(iters)
             if verbose:

@@ -106,7 +106,10 @@ def _matvec(ops: StokesOps, v, M: int, n: int):
     # Nyquist derivative) -- pin both so the system is nonsingular
     pin = jnp.mean(jnp.matmul(ops.VI1_row0, p, precision=_HIGH))
     fp = fp + pin
-    alt = 1.0 - 2.0 * (jnp.arange(n) % 2)
+    # alt's dtype must FOLLOW the data: a f64 literal here silently
+    # promotes the whole f32 inner matvec of the mixed-precision path
+    # back to emulated f64 (measured hazard, PROGRESS round-5 item 3)
+    alt = (1 - 2 * (jnp.arange(n) % 2)).astype(p.dtype)
     pin2 = jnp.mean(jnp.matmul(ops.VI1_row0, p * alt, precision=_HIGH))
     fp = fp + pin2 * alt
     # BC rows
@@ -149,31 +152,42 @@ def _precond(ops: StokesOps, v, M: int, n: int, f32pc: bool = False):
                             out[2 * M:].ravel()])
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 7))
-def _solve_jit(ops: StokesOps, rhs, M: int, n: int, maxiter: int,
-               restart: int, tol, f32pc: bool = False):
+def _run_gmres(ops: StokesOps, rhs, M: int, n: int, maxiter: int,
+               restart: int, tol, f32pc: bool, mp: bool):
+    from ipde_tpu.solvers.annular_scalar import cast_ops_f32
+    from ipde_tpu.ops.gmres import gmres_ir
     mv = lambda v: _matvec(ops, v, M, n)
+    if mp:
+        ops32 = cast_ops_f32(ops)
+        mv32 = lambda v: _matvec(ops32, v, M, n)
+        pc32 = lambda v: _precond(ops32, v, M, n)
+        return gmres_ir(mv, rhs, mv32, pc32, tol=tol, maxiter=maxiter,
+                        restart=restart)
     pc = lambda v: _precond(ops, v, M, n, f32pc)
-    res = gmres(mv, rhs, precond=pc, tol=tol, maxiter=maxiter,
-                restart=restart, flexible=f32pc)
+    return gmres(mv, rhs, precond=pc, tol=tol, maxiter=maxiter,
+                 restart=restart, flexible=f32pc)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 7, 8))
+def _solve_jit(ops: StokesOps, rhs, M: int, n: int, maxiter: int,
+               restart: int, tol, f32pc: bool = False, mp: bool = False):
+    res = _run_gmres(ops, rhs, M, n, maxiter, restart, tol, f32pc, mp)
     NU = M * n
     x = res.x
     return (x[:NU].reshape(M, n), x[NU:2 * NU].reshape(M, n),
             x[2 * NU:].reshape(M - 1, n), res.iterations, res.residual)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 7))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 7, 8))
 def _solve_jit_batched(ops_stacked: StokesOps, rhs_stacked, M: int, n: int,
-                       maxiter: int, restart: int, tol, f32pc: bool = False):
+                       maxiter: int, restart: int, tol, f32pc: bool = False,
+                       mp: bool = False):
     """vmapped Stokes GMRES over the BOUNDARY axis (SURVEY.md 2.3(b)): one
     dispatch for B same-shape annular Stokes solves; ops leaves carry a
     leading B axis."""
 
     def one(ops, rhs):
-        mv = lambda v: _matvec(ops, v, M, n)
-        pc = lambda v: _precond(ops, v, M, n, f32pc)
-        res = gmres(mv, rhs, precond=pc, tol=tol, maxiter=maxiter,
-                    restart=restart, flexible=f32pc)
+        res = _run_gmres(ops, rhs, M, n, maxiter, restart, tol, f32pc, mp)
         NU = M * n
         x = res.x
         return (x[:NU].reshape(M, n), x[NU:2 * NU].reshape(M, n),
@@ -193,13 +207,14 @@ def batched_stokes_solve(solvers, metrics, rhss, tol, maxiter, restart,
     ops_stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ops_list)
     rhs_stacked = jnp.stack(rhss)
     from ipde_tpu.solvers.annular_scalar import (shard_boundary_axis,
+                                                 use_annular_mp,
                                                  use_f32_precond)
     ops_stacked, _ = shard_boundary_axis(mesh, ops_stacked)
     rhs_stacked, _ = shard_boundary_axis(mesh, rhs_stacked)
     M, n = solvers[0].M, solvers[0].n
     ur, ut, p, iters, resid = _solve_jit_batched(
         ops_stacked, rhs_stacked, M, n, maxiter, restart, jnp.asarray(tol),
-        use_f32_precond(tol))
+        use_f32_precond(tol), use_annular_mp())
     outs = [(ur[i], ut[i],
              jnp.matmul(s.P10, p[i], precision=_HIGH))
             for i, s in enumerate(solvers)]
@@ -327,11 +342,13 @@ class AnnularStokesSolver:
                          restart: int = 50, verbose: bool = False):
         ops = self.make_ops(metric)
         rhs = self.build_rhs(fr, ft, lbc_r, lbc_t, ubc_r, ubc_t)
-        from ipde_tpu.solvers.annular_scalar import use_f32_precond
+        from ipde_tpu.solvers.annular_scalar import (use_annular_mp,
+                                                     use_f32_precond)
         ur, ut, p, iters, resid = _solve_jit(ops, rhs, self.M, self.n,
                                              maxiter, restart,
                                              jnp.asarray(tol),
-                                             use_f32_precond(tol))
+                                             use_f32_precond(tol),
+                                             use_annular_mp())
         if not isinstance(iters, jax.core.Tracer):
             self.iterations_last_call = int(iters)
             if verbose:

@@ -464,9 +464,10 @@ class StokesSolver:
         # which leaves the mismatch: internals/vector.py:134-141 FIXME)
         prs = [pr + jnp.mean(bp - jnp.matmul(h.f_to_ifc, pr, precision=_HIGH))
                for h, pr, bp in zip(self.helpers, prs, bpl)]
-        uc = ebdyc.interpolate_radial_to_grid(urs, uc) * ebdyc.phys_dev
-        vc = ebdyc.interpolate_radial_to_grid(vrs, vc) * ebdyc.phys_dev
-        pc = ebdyc.interpolate_radial_to_grid(prs, pc) * ebdyc.phys_dev
+        uc, vc, pc = ebdyc.interpolate_radial_to_grid_many(
+            [urs, vrs, prs], [uc, vc, pc])
+        uc, vc, pc = (uc * ebdyc.phys_dev, vc * ebdyc.phys_dev,
+                      pc * ebdyc.phys_dev)
         return (EmbeddedFunction(uc, urs), EmbeddedFunction(vc, vrs),
                 EmbeddedFunction(pc, prs)), stats
 
