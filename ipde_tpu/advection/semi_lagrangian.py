@@ -403,3 +403,119 @@ class SecondOrderAdvector:
                     f_nm1: EmbeddedFunction) -> EmbeddedFunction:
         """BDF2 advection step: f^{n+1} = (4/3) f^n(x_d) - (1/3) f^{n-1}(x_D)."""
         return self((4.0 / 3.0) * f_n, (-1.0 / 3.0) * f_nm1)
+
+
+class ThirdOrderAdvector:
+    """Third-order (BDF3) semi-Lagrangian advector, STATIONARY boundaries.
+
+    Goes beyond the reference's shipped advector family (FE/BDF2); the
+    reference's experiment drivers compare FE/AB2/BDF2-4 against fine-dt
+    truth (examples/semi_lagrangian_experiments/unsteady_semi_experiment
+    .py:28-58) -- this provides the BDF3 member for stationary-boundary
+    flows (u . n = 0 on the boundary).
+
+    Departure points X(t_n - k dt), k = 0, 1, 2 integrate the
+    characteristic dX/dtau = -u(X, t) backward from the arrival point with
+    one classical RK3 step per dt segment; velocity at intermediate times
+    is the three-level quadratic Lagrange interpolant in time (levels
+    t_n, t_{n-1}, t_{n-2}), extrapolated to t_{n+1} -- the O(dt^3)
+    extrapolation error matches the scheme order.
+
+    Chaining mirrors SecondOrderAdvector: pass the previous step's
+    SecondOrder/ThirdOrder advector; its (u, v) / (uo, vo) provide the
+    t_{n-1} / t_{n-2} velocity levels.
+
+    __call__(f, fm1, fm2) = (18 f(xd1) - 9 fm1(xd2) + 2 fm2(xd3)) / 11.
+    """
+
+    def __init__(self, ebdyc, u, v, old_advector, filter_fraction=0.9):
+        self.ebdyc = ebdyc
+        self.u = u
+        self.v = v
+        self.uo = old_advector.u
+        self.vo = old_advector.v
+        self.uoo = old_advector.uo
+        self.voo = old_advector.vo
+        self.filter_fraction = filter_fraction
+        self.new_ebdyc = None
+
+    def _uv_at(self, x, y, theta, seed=None):
+        """(u, v) at points (x, y) and time t_n - theta dt by quadratic
+        Lagrange interpolation through the three stored levels."""
+        pq = getattr(self.ebdyc, "pad_quantum", None)
+        part = PointPartition(self.ebdyc, x, y, fix_r=True, seed=seed,
+                              pad_quantum=pq)
+        six = np.asarray(part.interpolate_many(
+            [self.u, self.v, self.uo, self.vo, self.uoo, self.voo],
+            exterior_value=0.0))
+        w0 = 0.5 * (theta - 1.0) * (theta - 2.0)
+        w1 = -theta * (theta - 2.0)
+        w2 = 0.5 * theta * (theta - 1.0)
+        uu = w0 * six[0] + w1 * six[2] + w2 * six[4]
+        vv = w0 * six[1] + w1 * six[3] + w2 * six[5]
+        return uu, vv, part
+
+    def generate(self, dt: float, fixed_boundary: bool = True,
+                 fixed_grid: bool = True):
+        """Compute the three departure-point sets.  Stationary boundaries
+        only: the geometry (and so every interpolation plan) is reused."""
+        if not fixed_boundary:
+            raise NotImplementedError(
+                "ThirdOrderAdvector supports stationary boundaries only "
+                "(the reference's moving-boundary drivers stop at BDF2)")
+        ebdyc = self.ebdyc
+        new_ebdyc = ebdyc                      # geometry reused
+        umax = float(np.sqrt(np.asarray(abs(self.u * self.u
+                                            + self.v * self.v).max())))
+        if 3.0 * umax * dt > ebdyc.ebdys[0].radial_width:
+            raise ValueError("timestep oversteps the annulus safety zone "
+                             "(BDF3 traces back 3 dt); reduce dt")
+        px = np.concatenate([ebdyc.pna_x]
+                            + [e.radial_x.ravel() for e in ebdyc])
+        py = np.concatenate([ebdyc.pna_y]
+                            + [e.radial_y.ravel() for e in ebdyc])
+        # RK3 (Kutta) backward through each dt segment, theta = -1 .. 2
+        X, Y = px.copy(), py.copy()
+        seed = None
+        self.dep_partitions = []
+        for k in range(3):
+            th = -1.0 + k
+            u1, v1, seed = self._uv_at(X, Y, th, seed)
+            k1x, k1y = -dt * u1, -dt * v1
+            u2, v2, seed = self._uv_at(X + 0.5 * k1x, Y + 0.5 * k1y,
+                                       th + 0.5, seed)
+            k2x, k2y = -dt * u2, -dt * v2
+            u3, v3, seed = self._uv_at(X - k1x + 2 * k2x, Y - k1y + 2 * k2y,
+                                       th + 1.0, seed)
+            k3x, k3y = -dt * u3, -dt * v3
+            X = X + (k1x + 4 * k2x + k3x) / 6.0
+            Y = Y + (k1y + 4 * k2y + k3y) / 6.0
+            pq = getattr(ebdyc, "pad_quantum", None)
+            self.dep_partitions.append(
+                PointPartition(ebdyc, X.copy(), Y.copy(), fix_r=True,
+                               seed=seed, pad_quantum=pq))
+        self.new_ebdyc = new_ebdyc
+        return new_ebdyc
+
+    def __call__(self, f: EmbeddedFunction, fm1: EmbeddedFunction,
+                 fm2: EmbeddedFunction) -> EmbeddedFunction:
+        """BDF3 advection: (18 f(xd1) - 9 fm1(xd2) + 2 fm2(xd3)) / 11."""
+        import jax.numpy as jnp
+        new_ebdyc = self.new_ebdyc
+        d1, d2, d3 = self.dep_partitions
+        vals = ((18.0 / 11.0) * d1.interpolate(f, exterior_value=0.0)
+                + (-9.0 / 11.0) * d2.interpolate(fm1, exterior_value=0.0)
+                + (2.0 / 11.0) * d3.interpolate(fm2, exterior_value=0.0))
+        n_pna = new_ebdyc.pna_x.size
+        grid = jnp.zeros(new_ebdyc.grid.shape)
+        grid = grid.ravel().at[new_ebdyc.pna_flat_dev]\
+            .set(vals[:n_pna]).reshape(new_ebdyc.grid.shape)
+        radials = []
+        start = n_pna
+        for e in new_ebdyc:
+            cnt = int(np.prod(e.radial_shape))
+            radials.append(vals[start:start + cnt].reshape(e.radial_shape))
+            start += cnt
+        grid = new_ebdyc.interpolate_radial_to_grid(radials, grid)
+        grid = grid * new_ebdyc.phys_dev
+        return EmbeddedFunction(grid, radials)

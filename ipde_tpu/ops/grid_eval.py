@@ -706,71 +706,73 @@ class _EvaluatorBase:
         return dxf, dyf, rr, mask
 
     def _plan_patch_chunks(self, six, siy):
-        """Host plan for the CHUNKED patch scan (_apply_patches).
+        """Host plan for the PULL (overlap-add) patch application.
 
         The per-source serial scan is latency-bound: S sequential
         dynamic-slice round trips (~41.6 ms at S=3600, tier-1,
-        tools/vg_probe.py).  Sources are curve-ordered, so C consecutive
-        sources' patches span a window only slightly larger than one
-        patch: pre-scatter each chunk's C patches into a (G, W, W) local
-        window (one small scatter-add) and play ONE dynamic-slice update
-        per CHUNK -- S/C sequential steps instead of S.
+        tools/vg_probe.py; a chunked-scatter variant measured 5x WORSE --
+        XLA TPU scatter-add is the wrong primitive here).  Pull instead:
+        sort every (source, patch-cell) pair by its GRID cell on host;
+        the device apply is then one permutation gather of the patch
+        values, one cumulative sum, a segment difference at the
+        (precomputed) cell boundaries, and one scatter-add of ~1e5
+        per-cell sums -- everything wide and parallel.
 
-        Chunks whose source run jumps across curve junctions (span > 2C
-        cells) are deferred to a per-source remainder scan."""
+        IPDE_PATCH=scan restores the serial scan."""
         import os
-        C = int(os.environ.get("IPDE_PATCH_CHUNK", "32"))
-        self._patch_chunks = None
-        S = six.size
-        if C <= 1 or S < 2 * C:
+        self._patch_pull = None
+        if os.environ.get("IPDE_PATCH", "").strip().lower() == "scan":
             return
         P = self.patch_P
-        nch = S // C
-        used = nch * C
-        cx = six[:used].reshape(nch, C)
-        cy = siy[:used].reshape(nch, C)
-        span = np.maximum(cx.max(1) - cx.min(1), cy.max(1) - cy.min(1))
-        good = span <= 2 * C
-        if not good.any():
-            return
-        W = P + int(span[good].max())
-        # clamp window origins inside the extended grid
-        m = self.margin
-        nxe = self.grid.Nx + 2 * m
-        nye = self.grid.Ny + 2 * m
-        if W > min(nxe, nye):
-            return
-        ox = np.minimum(cx.min(1), nxe - W)
-        oy = np.minimum(cy.min(1), nye - W)
-        starts = ((cx - ox[:, None]) * W + (cy - oy[:, None]))  # (nch, C)
-        gidx = np.flatnonzero(good)
-        rem = np.concatenate([np.flatnonzero(~good)[:, None] * C
-                              + np.arange(C)[None, :],
-                              np.arange(used, S)[:, None]], axis=None) \
-            if (~good).any() or used < S else np.empty(0, np.int64)
-        rem = np.asarray(rem, np.int64).ravel()
-        base = (np.arange(P)[:, None] * W + np.arange(P)[None, :]).ravel()
-        self._patch_chunks = dict(
-            C=C, W=W,
-            src=jnp.asarray((gidx[:, None] * C
-                             + np.arange(C)[None, :]), jnp.int32),
-            starts=jnp.asarray(starts[gidx], jnp.int32),
-            ox=jnp.asarray(ox[gidx], jnp.int32),
-            oy=jnp.asarray(oy[gidx], jnp.int32),
-            base=jnp.asarray(base, jnp.int32),
-            rem=jnp.asarray(rem, jnp.int32),
+        S = six.size
+        Nx, Ny = self.grid.Nx, self.grid.Ny
+        # flat grid cell of every (source, patch-cell) pair; patch (a, b)
+        # of source i sits at grid cell (six[i] + a - m, siy[i] + b - m)
+        loc = np.arange(P) - self.margin
+        cellx = six[:, None, None] + loc[None, :, None]        # (S, P, 1)
+        celly = siy[:, None, None] + loc[None, None, :]        # (S, 1, P)
+        valid = ((cellx >= 0) & (cellx < Nx)
+                 & (celly >= 0) & (celly < Ny))                # (S, P, P)
+        cell = (cellx * Ny + celly).reshape(S, P * P)
+        valid = valid.reshape(S, P * P)
+        flat_entry = np.flatnonzero(valid.ravel())             # into (S*P*P)
+        cells = cell.ravel()[flat_entry]
+        order = np.argsort(cells, kind="stable")
+        perm = flat_entry[order].astype(np.int32)
+        cells_sorted = cells[order]
+        ucells, starts = np.unique(cells_sorted, return_index=True)
+        ends = np.concatenate([starts[1:], [cells_sorted.size]])
+        self._patch_pull = dict(
+            perm=jnp.asarray(perm),
+            # csum is inclusive: segment sum = csum[end-1] - csum[start-1]
+            # (start-1 = -1 wraps to the last element; subtracting the
+            # TOTAL there would be wrong, so prepend a virtual zero by
+            # indexing into csum shifted by one)
+            starts=jnp.asarray(starts.astype(np.int32)),
+            ends=jnp.asarray(ends.astype(np.int32)),
+            ucells=jnp.asarray(ucells.astype(np.int32)),
+            nnz=perm.size,
         )
 
     def _apply_patches(self, grids, patch_stacks):
         """Add per-source P x P patches to each grid in ``grids``.
         patch_stacks: list of (S, P*P) arrays aligned with ``grids``
-        (row-major patch layout, see _patch_geometry).
-
-        Scans are SERIAL (patches overlap, so updates must compose);
-        stacking the G grids into one (G, ext, ext) array does ONE
-        dynamic_update_slice per step instead of G.  With a chunk plan
-        (_plan_patch_chunks) each step covers C curve-consecutive
-        sources."""
+        (row-major patch layout, see _patch_geometry)."""
+        pp = self._patch_pull
+        if pp is not None:
+            out = []
+            for g, vals in zip(grids, patch_stacks):
+                v = jnp.take(vals.ravel(), pp["perm"], axis=0)
+                csum = jnp.concatenate([jnp.zeros((1,), v.dtype),
+                                        jnp.cumsum(v)])
+                seg = (jnp.take(csum, pp["ends"], axis=0)
+                       - jnp.take(csum, pp["starts"], axis=0))
+                out.append(g.ravel().at[pp["ucells"]].add(seg)
+                           .reshape(g.shape))
+            return out
+        # serial per-source scan fallback (patches overlap, so updates must
+        # compose); stacking the G grids into one (G, ext, ext) array does
+        # ONE dynamic_update_slice per source instead of G
         m = self.margin
         Pp = self.patch_P
         G = len(grids)
@@ -784,33 +786,8 @@ class _EvaluatorBase:
             return jax.lax.dynamic_update_slice(
                 acc, cur + patch.reshape(G, Pp, Pp), (z, x0, y0)), None
 
-        pc = self._patch_chunks
-        if pc is None:
-            ext, _ = jax.lax.scan(body, ext,
-                                  (stack, self.patch_x0, self.patch_y0))
-            return [g + ext[i, m:-m, m:-m] for i, g in enumerate(grids)]
-
-        W = pc["W"]
-
-        def chunk_body(acc, inp):
-            src, starts, ox, oy = inp          # (C,), (C,), (), ()
-            vals = stack[src]                  # (C, G, P*P) gather
-            idx = (starts[:, None] + pc["base"][None, :]).ravel()
-            loc = jnp.zeros((G, W * W))
-            loc = loc.at[:, idx].add(
-                vals.transpose(1, 0, 2).reshape(G, -1))
-            z = jnp.zeros((), ox.dtype)
-            cur = jax.lax.dynamic_slice(acc, (z, ox, oy), (G, W, W))
-            return jax.lax.dynamic_update_slice(
-                acc, cur + loc.reshape(G, W, W), (z, ox, oy)), None
-
-        ext, _ = jax.lax.scan(chunk_body, ext,
-                              (pc["src"], pc["starts"], pc["ox"], pc["oy"]))
-        if pc["rem"].shape[0]:
-            rem = pc["rem"]
-            ext, _ = jax.lax.scan(body, ext,
-                                  (stack[rem], self.patch_x0[rem],
-                                   self.patch_y0[rem]))
+        ext, _ = jax.lax.scan(body, ext,
+                              (stack, self.patch_x0, self.patch_y0))
         return [g + ext[i, m:-m, m:-m] for i, g in enumerate(grids)]
 
 

@@ -1,4 +1,4 @@
-"""Chunked vs per-source patch scan (_plan_patch_chunks / IPDE_PATCH_CHUNK)
+"""Chunked vs per-source patch scan (_plan_patch_chunks / IPDE_PATCH)
 must agree to roundoff, including multi-curve junction chunks that fall
 into the per-source remainder scan."""
 
@@ -9,7 +9,7 @@ import jax.numpy as jnp
 from ipde_tpu.geometry.grid import Grid
 
 def build(chunk):
-    os.environ["IPDE_PATCH_CHUNK"] = chunk
+    os.environ["IPDE_PATCH"] = chunk
     from ipde_tpu.ops.grid_eval import FreespaceGridEvaluator, \
         StokesFreespaceGridEvaluator
     g = Grid((-1.2, 1.2), 128, (-1.2, 1.2), 128)
@@ -22,8 +22,8 @@ def build(chunk):
     return fe, se, sx.size
 
 def test_chunked_patch_scan_matches():
-    fe0, se0, S = build("0")
-    fe1, se1, _ = build("32")
+    fe0, se0, S = build("scan")
+    fe1, se1, _ = build("pull")
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.standard_normal(S))
     qy = jnp.asarray(rng.standard_normal(S))
