@@ -270,6 +270,34 @@ class EmbeddedBoundaryCollection:
         """Interpolate (stacked) fft2 mode arrays to all interface points."""
         return self.interface_interp.from_modes(modes)
 
+    def interface_values_and_grads(self, modes: Cx):
+        """Values AND physical-coordinate gradients of the (B, nx, ny) mode
+        stack at all interface points.
+
+        Fast path: the interpolation plan's window-derivative evaluation
+        (ops/interp.from_modes_grad) -- ONE fine transform + gather per
+        field, with the x/y derivatives as two extra weight reductions,
+        instead of interpolating three ik-multiplied mode stacks (the 7-
+        field Stokes interface stack measured 62.5 ms at tier-1 this way).
+        IPDE_IFC_GRAD=0, or a plan without grad support, falls back to the
+        ik-mode route.  Returns (vals, ddx, ddy), each (B, T)."""
+        import os
+        ii = self.interface_interp
+        use_grad = (os.environ.get("IPDE_IFC_GRAD", "1").strip() != "0"
+                    and hasattr(ii, "from_modes_grad"))
+        if use_grad:
+            vals, dtx, dty = ii.from_modes_grad(modes)
+            sx = 2.0 * np.pi / self.grid.x_period
+            sy = 2.0 * np.pi / self.grid.y_period
+            return vals, dtx * sx, dty * sy
+        kx, ky = self.kx_dev, self.ky_dev
+        big = Cx(
+            jnp.concatenate([modes.re, -modes.im * kx, -modes.im * ky]),
+            jnp.concatenate([modes.im, modes.re * kx, modes.re * ky]))
+        out = ii.from_modes(big)
+        B = modes.re.shape[0]
+        return out[:B], out[B:2 * B], out[2 * B:]
+
     def interpolate_grid_to_interface(self, f):
         return self.interface_interp(f)
 

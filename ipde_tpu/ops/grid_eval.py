@@ -718,10 +718,13 @@ class _EvaluatorBase:
         (precomputed) cell boundaries, and one scatter-add of ~1e5
         per-cell sums -- everything wide and parallel.
 
-        IPDE_PATCH=scan restores the serial scan."""
+        IPDE_PATCH=pull enables the pull path (measured SLOWER than the scan
+        on TPU: +130 ms per VG call at tier-1 -- the 7.3M-element permute
+        gather / 5.7M f64 cumsum are the suspects, tools/patch_probe.py);
+        default is the serial scan."""
         import os
         self._patch_pull = None
-        if os.environ.get("IPDE_PATCH", "").strip().lower() == "scan":
+        if os.environ.get("IPDE_PATCH", "scan").strip().lower() != "pull":
             return
         P = self.patch_P
         S = six.size

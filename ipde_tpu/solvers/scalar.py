@@ -317,13 +317,13 @@ class ScalarSolver:
             bxs = self.ifc_poly_interp(fd_x_4(uc, g.xh))
             bys = self.ifc_poly_interp(fd_y_4(uc, g.yh))
         else:
-            # interface values + gradients from the mode array (one batched
-            # NUFFT; reference: multi_boundary/scalar.py:80-88)
-            kx, ky = ebdyc.kx_dev, ebdyc.ky_dev
-            stack = Cx(jnp.stack([uch.re, -uch.im * kx, -uch.im * ky]),
-                       jnp.stack([uch.im, uch.re * kx, uch.re * ky]))
-            all_iv = ebdyc.interpolate_grid_to_interface_modes(stack)
-            bvs, bxs, bys = all_iv[0], all_iv[1], all_iv[2]
+            # interface values + gradients from the mode array: one fine
+            # transform, gradients via window-derivative weights
+            # (collection.interface_values_and_grads; reference:
+            # multi_boundary/scalar.py:80-88)
+            vals, gxs, gys = ebdyc.interface_values_and_grads(
+                Cx(uch.re[None], uch.im[None]))
+            bvs, bxs, bys = vals[0], gxs[0], gys[0]
         bvl = ebdyc.v2l(bvs)
         bxl = ebdyc.v2l(bxs)
         byl = ebdyc.v2l(bys)

@@ -352,16 +352,13 @@ class StokesSolver:
             vxs, vys = pi(fd_x_4(vc, g.xh)), pi(fd_y_4(vc, g.yh))
         else:
             # interface data: u, v, p, ux, uy, vx, vy in one batched NUFFT
-            stack = Cx(
-                jnp.stack([uh.re, vh.re, ph.re, mul_ik(uh, kx).re,
-                           mul_ik(uh, ky).re, mul_ik(vh, kx).re,
-                           mul_ik(vh, ky).re]),
-                jnp.stack([uh.im, vh.im, ph.im, mul_ik(uh, kx).im,
-                           mul_ik(uh, ky).im, mul_ik(vh, kx).im,
-                           mul_ik(vh, ky).im]))
-            iv = ebdyc.interpolate_grid_to_interface_modes(stack)
-            bus, bvs, bps = iv[0], iv[1], iv[2]
-            uxs, uys, vxs, vys = iv[3], iv[4], iv[5], iv[6]
+            # values + gradients of (u, v, p) in one 3-field pass (window-
+            # derivative weights replace the old 7-field ik-mode stack)
+            stack3 = Cx(jnp.stack([uh.re, vh.re, ph.re]),
+                        jnp.stack([uh.im, vh.im, ph.im]))
+            vals, gxs, gys = ebdyc.interface_values_and_grads(stack3)
+            bus, bvs, bps = vals[0], vals[1], vals[2]
+            uxs, uys, vxs, vys = gxs[0], gys[0], gxs[1], gys[1]
         btxxs = 2 * uxs - bps
         btxys = uys + vxs
         btyys = 2 * vys - bps

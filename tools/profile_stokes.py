@@ -128,22 +128,13 @@ def main():
     print(f"box solve            {ms:8.1f} ms", flush=True)
 
     def ifc_stack(uhr, uhi, vhr, vhi, phr, phi_):
-        uh = Cx(uhr, uhi)
-        vh = Cx(vhr, vhi)
-        ph = Cx(phr, phi_)
-        mul_ik = lambda c, k: Cx(-c.im * k, c.re * k)
-        stack = Cx(
-            jnp.stack([uh.re, vh.re, ph.re, mul_ik(uh, kx).re,
-                       mul_ik(uh, ky).re, mul_ik(vh, kx).re,
-                       mul_ik(vh, ky).re]),
-            jnp.stack([uh.im, vh.im, ph.im, mul_ik(uh, kx).im,
-                       mul_ik(uh, ky).im, mul_ik(vh, kx).im,
-                       mul_ik(vh, ky).im]))
-        return ebc.interpolate_grid_to_interface_modes(stack)
+        stack3 = Cx(jnp.stack([uhr, vhr, phr]),
+                    jnp.stack([uhi, vhi, phi_]))
+        return ebc.interface_values_and_grads(stack3)
 
     ji = planified(ifc_stack, solver)
     ms, _ = timeit(ji, uh.re, uh.im, vh.re, vh.im, ph.re, ph.im, latency=lat)
-    print(f"interface 7-stack    {ms:8.1f} ms", flush=True)
+    print(f"interface vals+grad  {ms:8.1f} ms", flush=True)
 
     # densities (traction + QFS applies) on dummy annular output
     zr = jnp.asarray(
