@@ -399,16 +399,24 @@ def minnorm_compose(A, forms: Sequence, lam_rel: float = 0.0,
             X = solve_lower(Fk, X)[:m]
         return X
 
+    # EXPLICIT pseudo-inverse E = Q L_tot^{-1} (n, m): two-or-three
+    # blocked substitutions ONCE (on the identity) + one GEMM, after which
+    # every form map and every refinement correction is a single Ozaki
+    # GEMM.  The previous per-form substitutions were ~130 eager tunnel
+    # dispatches each x ~18 solves per compose -- a dominant slice of the
+    # pathological cold setup (VERDICT r4 item 4; 25-33 ms per dispatch).
+    E = _sync(exact_mm(Q, ltot_solve(jnp.eye(m, dtype=A.dtype))))
+
     maps = []
     for Bf in forms:
         Bf = jnp.asarray(Bf)
-        M = exact_mm(Q, ltot_solve(Bf))
+        M = exact_mm(E, Bf)
         for it in range(refine):
             R = Bf - exact_mm(A, _sync(M))
             if dbg:
                 print(f"  compose refine {it}: |R|_inf = "
                       f"{float(jnp.max(jnp.abs(R))):.3e}", flush=True)
-            M = M + exact_mm(Q, ltot_solve(R))
+            M = M + exact_mm(E, R)
         if dbg:
             R = Bf - exact_mm(A, _sync(M))
             print(f"  compose final : |R|_inf = "

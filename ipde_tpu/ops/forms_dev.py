@@ -8,6 +8,12 @@ only O(nb) coordinate vectors ever cross the link.  Used by the
 device-backed QFS/BIE setup (qfs.py, solvers/bie.py) together with
 ops/device_linalg.py.
 
+Every builder is a thin wrapper around a ``@jax.jit`` CORE: one tunnel
+dispatch per matrix instead of one per jnp op (10-30 each) -- the eager
+version's dispatches were a dominant slice of the pathological cold
+setup (VERDICT r4 item 4; ~25-33 ms per dispatch through the tunnel).
+Cores compile once per shape and persist in the XLA compile cache.
+
 Elementwise transcendentals use the TPU-safe accurate_log / bessel_k0/k1
 from ops/kernels.py (TPU f64 log is only ~1.4e-10; see the numerics notes).
 Equality with the numpy builders is asserted in tests/test_forms_dev.py.
@@ -43,12 +49,20 @@ def _pair(src: dict, tx, ty):
     return dx, dy, dx * dx + dy * dy
 
 
-def _w_circulant_dev(n: int):
-    """Kress log-quadrature circulant as a device matrix (from its first
-    column; the (i - j) mod n index matrix is built on device)."""
-    w = jnp.asarray(log_quad_circulant(n)[:, 0])
+def _w_circulant(curve: BoundaryCurve):
+    """Kress log-quadrature circulant first column (host, cached on the
+    curve); the (i - j) mod n expansion happens inside the jitted cores."""
+    w = curve.__dict__.get("_kress_col")
+    if w is None:
+        w = jnp.asarray(log_quad_circulant(curve.N)[:, 0])
+        curve._kress_col = w
+    return w
+
+
+def _expand_circulant(col):
+    n = col.shape[0]
     i = jnp.arange(n)
-    return w[(i[:, None] - i[None, :]) % n]
+    return col[(i[:, None] - i[None, :]) % n]
 
 
 def _eye_mask(n: int):
@@ -56,35 +70,47 @@ def _eye_mask(n: int):
     return (i[:, None] == i[None, :])
 
 
+def _t(v):
+    return jnp.asarray(v).ravel()
+
+
 # ---------------------------------------------------------------------------
 # naive (off-surface) forms
 # ---------------------------------------------------------------------------
 
-def laplace_slp_naive_dev(src: BoundaryCurve, tx, ty):
-    s = _curve_dev(src)
-    tx, ty = jnp.asarray(tx).ravel(), jnp.asarray(ty).ravel()
+@jax.jit
+def _lap_slp_naive(s, tx, ty):
     _, _, r2 = _pair(s, tx, ty)
     return -accurate_log(r2) / (4 * jnp.pi) * s["weights"][None, :]
 
 
-def laplace_dlp_naive_dev(src: BoundaryCurve, tx, ty):
-    s = _curve_dev(src)
-    tx, ty = jnp.asarray(tx).ravel(), jnp.asarray(ty).ravel()
+def laplace_slp_naive_dev(src: BoundaryCurve, tx, ty):
+    return _lap_slp_naive(_curve_dev(src), _t(tx), _t(ty))
+
+
+@jax.jit
+def _lap_dlp_naive(s, tx, ty):
     dx, dy, r2 = _pair(s, tx, ty)
     dot = dx * s["normal_x"][None, :] + dy * s["normal_y"][None, :]
     return dot / (2 * jnp.pi * r2) * s["weights"][None, :]
 
 
-def mh_slp_naive_dev(src: BoundaryCurve, tx, ty, k: float):
-    s = _curve_dev(src)
-    tx, ty = jnp.asarray(tx).ravel(), jnp.asarray(ty).ravel()
+def laplace_dlp_naive_dev(src: BoundaryCurve, tx, ty):
+    return _lap_dlp_naive(_curve_dev(src), _t(tx), _t(ty))
+
+
+@jax.jit
+def _mh_slp_naive(s, tx, ty, k):
     _, _, r2 = _pair(s, tx, ty)
     return bessel_k0(k * jnp.sqrt(r2)) / (2 * jnp.pi) * s["weights"][None, :]
 
 
-def mh_dlp_naive_dev(src: BoundaryCurve, tx, ty, k: float):
-    s = _curve_dev(src)
-    tx, ty = jnp.asarray(tx).ravel(), jnp.asarray(ty).ravel()
+def mh_slp_naive_dev(src: BoundaryCurve, tx, ty, k: float):
+    return _mh_slp_naive(_curve_dev(src), _t(tx), _t(ty), jnp.float64(k))
+
+
+@jax.jit
+def _mh_dlp_naive(s, tx, ty, k):
     dx, dy, r2 = _pair(s, tx, ty)
     r = jnp.sqrt(r2)
     dot = dx * s["normal_x"][None, :] + dy * s["normal_y"][None, :]
@@ -92,29 +118,38 @@ def mh_dlp_naive_dev(src: BoundaryCurve, tx, ty, k: float):
             * s["weights"][None, :])
 
 
-def laplace_slp_normal_naive_dev(src: BoundaryCurve, tx, ty, tnx, tny):
-    s = _curve_dev(src)
-    tx, ty = jnp.asarray(tx).ravel(), jnp.asarray(ty).ravel()
+def mh_dlp_naive_dev(src: BoundaryCurve, tx, ty, k: float):
+    return _mh_dlp_naive(_curve_dev(src), _t(tx), _t(ty), jnp.float64(k))
+
+
+@jax.jit
+def _lap_slp_normal_naive(s, tx, ty, tnx, tny):
     dx, dy, r2 = _pair(s, tx, ty)
-    dot = (dx * jnp.asarray(tnx).ravel()[:, None]
-           + dy * jnp.asarray(tny).ravel()[:, None])
+    dot = dx * tnx[:, None] + dy * tny[:, None]
     return -dot / (2 * jnp.pi * r2) * s["weights"][None, :]
 
 
-def mh_slp_normal_naive_dev(src: BoundaryCurve, tx, ty, tnx, tny, k: float):
-    s = _curve_dev(src)
-    tx, ty = jnp.asarray(tx).ravel(), jnp.asarray(ty).ravel()
+def laplace_slp_normal_naive_dev(src: BoundaryCurve, tx, ty, tnx, tny):
+    return _lap_slp_normal_naive(_curve_dev(src), _t(tx), _t(ty),
+                                 _t(tnx), _t(tny))
+
+
+@jax.jit
+def _mh_slp_normal_naive(s, tx, ty, tnx, tny, k):
     dx, dy, r2 = _pair(s, tx, ty)
     r = jnp.sqrt(r2)
-    dot = (dx * jnp.asarray(tnx).ravel()[:, None]
-           + dy * jnp.asarray(tny).ravel()[:, None])
+    dot = dx * tnx[:, None] + dy * tny[:, None]
     return (-k * bessel_k1(k * r) * dot / (2 * jnp.pi * r)
             * s["weights"][None, :])
 
 
-def stokes_slp_naive_dev(src: BoundaryCurve, tx, ty):
-    s = _curve_dev(src)
-    tx, ty = jnp.asarray(tx).ravel(), jnp.asarray(ty).ravel()
+def mh_slp_normal_naive_dev(src: BoundaryCurve, tx, ty, tnx, tny, k: float):
+    return _mh_slp_normal_naive(_curve_dev(src), _t(tx), _t(ty),
+                                _t(tnx), _t(tny), jnp.float64(k))
+
+
+@jax.jit
+def _stokes_slp_naive(s, tx, ty):
     dx, dy, r2 = _pair(s, tx, ty)
     ilr = -0.5 * accurate_log(r2)
     ir2 = 1.0 / r2
@@ -125,9 +160,12 @@ def stokes_slp_naive_dev(src: BoundaryCurve, tx, ty):
         jnp.concatenate([axy, (ilr + dy * dy * ir2) * w], axis=1)], axis=0)
 
 
-def stokes_dlp_naive_dev(src: BoundaryCurve, tx, ty):
-    s = _curve_dev(src)
-    tx, ty = jnp.asarray(tx).ravel(), jnp.asarray(ty).ravel()
+def stokes_slp_naive_dev(src: BoundaryCurve, tx, ty):
+    return _stokes_slp_naive(_curve_dev(src), _t(tx), _t(ty))
+
+
+@jax.jit
+def _stokes_dlp_naive(s, tx, ty):
     dx, dy, r2 = _pair(s, tx, ty)
     rn = dx * s["normal_x"][None, :] + dy * s["normal_y"][None, :]
     c = rn / (r2 * r2) * (s["weights"][None, :] / jnp.pi)
@@ -136,50 +174,68 @@ def stokes_dlp_naive_dev(src: BoundaryCurve, tx, ty):
         jnp.concatenate([c * dy * dx, c * dy * dy], axis=1)], axis=0)
 
 
+def stokes_dlp_naive_dev(src: BoundaryCurve, tx, ty):
+    return _stokes_dlp_naive(_curve_dev(src), _t(tx), _t(ty))
+
+
 # ---------------------------------------------------------------------------
 # Kress self-evaluation forms (Laplace + Stokes; MH stays host-built)
 # ---------------------------------------------------------------------------
 
-def _self_geom(curve: BoundaryCurve):
-    s = _curve_dev(curve)
+def _self_geom(s):
     dx, dy, r2 = _pair(s, s["x"], s["y"])
     t = s["t"]
     s2 = 4.0 * jnp.sin((t[:, None] - t[None, :]) / 2.0) ** 2
-    return s, dx, dy, r2, s2, _eye_mask(curve.N)
+    return dx, dy, r2, s2, _eye_mask(s["x"].shape[0])
 
 
-def laplace_slp_self_dev(curve: BoundaryCurve):
-    n = curve.N
-    s, dx, dy, r2, s2, eye = _self_geom(curve)
+@jax.jit
+def _lap_slp_self(s, wcol, dt):
+    dx, dy, r2, s2, eye = _self_geom(s)
     # off-diagonal smooth remainder -log(r2/s2)/(4pi); diagonal -log(speed^2)
     ratio = jnp.where(eye, 1.0, r2 / jnp.where(eye, 1.0, s2))
     K2 = jnp.where(eye, -accurate_log(s["speed"] ** 2)[:, None] * eye,
                    -accurate_log(ratio)) / (4 * jnp.pi)
     K1 = -1.0 / (4 * jnp.pi)
-    W = _w_circulant_dev(n)
-    return (K1 * W + K2 * curve.dt) * s["speed"][None, :]
+    W = _expand_circulant(wcol)
+    return (K1 * W + K2 * dt) * s["speed"][None, :]
 
 
-def laplace_dlp_self_dev(curve: BoundaryCurve):
-    s, dx, dy, r2, _, eye = _self_geom(curve)
+def laplace_slp_self_dev(curve: BoundaryCurve):
+    return _lap_slp_self(_curve_dev(curve), _w_circulant(curve),
+                         jnp.float64(curve.dt))
+
+
+@jax.jit
+def _lap_dlp_self(s):
+    dx, dy, r2, _, eye = _self_geom(s)
     dot = dx * s["normal_x"][None, :] + dy * s["normal_y"][None, :]
     K = jnp.where(eye, -s["curvature"][:, None] / (4 * jnp.pi) * eye,
                   dot / (2 * jnp.pi * jnp.where(eye, 1.0, r2)))
     return K * s["weights"][None, :]
 
 
-def laplace_slp_normal_self_dev(curve: BoundaryCurve):
-    s, dx, dy, r2, _, eye = _self_geom(curve)
+def laplace_dlp_self_dev(curve: BoundaryCurve):
+    return _lap_dlp_self(_curve_dev(curve))
+
+
+@jax.jit
+def _lap_slp_normal_self(s):
+    dx, dy, r2, _, eye = _self_geom(s)
     dot = dx * s["normal_x"][:, None] + dy * s["normal_y"][:, None]
     K = jnp.where(eye, -s["curvature"][:, None] / (4 * jnp.pi) * eye,
                   -dot / (2 * jnp.pi * jnp.where(eye, 1.0, r2)))
     return K * s["weights"][None, :]
 
 
-def stokes_slp_self_dev(curve: BoundaryCurve):
-    n = curve.N
-    s, dx, dy, r2, s2, eye = _self_geom(curve)
-    W = _w_circulant_dev(n)
+def laplace_slp_normal_self_dev(curve: BoundaryCurve):
+    return _lap_slp_normal_self(_curve_dev(curve))
+
+
+@jax.jit
+def _stokes_slp_self(s, wcol, dt):
+    dx, dy, r2, s2, eye = _self_geom(s)
+    W = _expand_circulant(wcol)
     logA = -W / (8 * jnp.pi)
     ratio = jnp.where(eye, 1.0, r2 / jnp.where(eye, 1.0, s2))
     Sd = jnp.where(eye, -accurate_log(s["speed"])[:, None] * eye,
@@ -189,18 +245,24 @@ def stokes_slp_self_dev(curve: BoundaryCurve):
     rxy = jnp.where(eye, (s["tangent_x"] * s["tangent_y"])[:, None] * eye,
                     dx * dy * ir2)
     ryy = jnp.where(eye, (s["tangent_y"] ** 2)[:, None] * eye, dy * dy * ir2)
-    dt = curve.dt / (4 * jnp.pi)
+    dtq = dt / (4 * jnp.pi)
     sp = s["speed"][None, :]
-    Axx = (logA + (Sd * curve.dt + rxx * dt)) * sp
-    Axy = (rxy * dt) * sp
-    Ayy = (logA + (Sd * curve.dt + ryy * dt)) * sp
+    Axx = (logA + (Sd * dt + rxx * dtq)) * sp
+    Axy = (rxy * dtq) * sp
+    Ayy = (logA + (Sd * dt + ryy * dtq)) * sp
     return jnp.concatenate([
         jnp.concatenate([Axx, Axy], axis=1),
         jnp.concatenate([Axy, Ayy], axis=1)], axis=0)
 
 
-def stokes_dlp_self_dev(curve: BoundaryCurve):
-    s, dx, dy, r2, _, eye = _self_geom(curve)
+def stokes_slp_self_dev(curve: BoundaryCurve):
+    return _stokes_slp_self(_curve_dev(curve), _w_circulant(curve),
+                            jnp.float64(curve.dt))
+
+
+@jax.jit
+def _stokes_dlp_self(s):
+    dx, dy, r2, _, eye = _self_geom(s)
     rn = dx * s["normal_x"][None, :] + dy * s["normal_y"][None, :]
     c = jnp.where(eye, 0.0, rn / jnp.where(eye, 1.0, r2 * r2))
     lim = -s["curvature"] / 2.0
@@ -216,17 +278,25 @@ def stokes_dlp_self_dev(curve: BoundaryCurve):
         jnp.concatenate([Axy * w, Ayy * w], axis=1)], axis=0)
 
 
-def stokes_pressure_fix_dev(src: BoundaryCurve, tx_n, ty_n):
-    s = _curve_dev(src)
+def stokes_dlp_self_dev(curve: BoundaryCurve):
+    return _stokes_dlp_self(_curve_dev(curve))
+
+
+@jax.jit
+def _stokes_pressure_fix(s, txn, tyn):
     wx = s["normal_x"] * s["weights"]
     wy = s["normal_y"] * s["weights"]
     scale = 1.0 / jnp.sum(s["weights"])
-    txn = jnp.asarray(tx_n)[:, None]
-    tyn = jnp.asarray(ty_n)[:, None]
+    txn = txn[:, None]
+    tyn = tyn[:, None]
     return jnp.concatenate([
         jnp.concatenate([txn * wx[None, :], txn * wy[None, :]], axis=1),
         jnp.concatenate([tyn * wx[None, :], tyn * wy[None, :]], axis=1)],
         axis=0) * scale
+
+
+def stokes_pressure_fix_dev(src: BoundaryCurve, tx_n, ty_n):
+    return _stokes_pressure_fix(_curve_dev(src), _t(tx_n), _t(ty_n))
 
 
 # ---------------------------------------------------------------------------
