@@ -724,6 +724,33 @@ class _EvaluatorBase:
         default is the serial scan."""
         import os
         self._patch_pull = None
+        # ORIGIN-MERGE plan for the serial scan: the QFS source spacing is
+        # ~h/3.5, so ~3-4 consecutive sources share the same nearest grid
+        # node -- their patches occupy the SAME window and can be summed
+        # (a few row-gather adds) before the scan, cutting the scan's
+        # latency-bound step count by the same factor (42 -> ~14 ms at
+        # tier-1).  IPDE_PATCH_MERGE=0 disables.
+        self._patch_merge = None
+        S = six.size
+        if os.environ.get("IPDE_PATCH_MERGE", "1").strip() != "0" and S > 8:
+            key = six.astype(np.int64) * (self.grid.Ny + 2 * self.margin
+                                          + self.patch_P) + siy
+            uniq, inv, counts = np.unique(key, return_inverse=True,
+                                          return_counts=True)
+            K = int(counts.max())
+            nk = uniq.size
+            if nk < S:   # something to merge
+                order = np.argsort(inv, kind="stable")
+                posw = np.concatenate([np.arange(c) for c in counts])
+                tbl = np.full((nk, K), S, np.int64)
+                tbl[inv[order], posw] = order
+                first = order[np.concatenate([[0], np.cumsum(counts)[:-1]])]
+                self._patch_merge = dict(
+                    tbl=[jnp.asarray(tbl[:, k], jnp.int32)
+                         for k in range(K)],
+                    x0=jnp.asarray(six[first], jnp.int32),
+                    y0=jnp.asarray(siy[first], jnp.int32),
+                )
         if os.environ.get("IPDE_PATCH", "scan").strip().lower() != "pull":
             return
         P = self.patch_P
@@ -773,9 +800,9 @@ class _EvaluatorBase:
                 out.append(g.ravel().at[pp["ucells"]].add(seg)
                            .reshape(g.shape))
             return out
-        # serial per-source scan fallback (patches overlap, so updates must
-        # compose); stacking the G grids into one (G, ext, ext) array does
-        # ONE dynamic_update_slice per source instead of G
+        # serial scan (patches overlap, so updates must compose); stacking
+        # the G grids into one (G, ext, ext) array does ONE
+        # dynamic_update_slice per step instead of G
         m = self.margin
         Pp = self.patch_P
         G = len(grids)
@@ -789,8 +816,19 @@ class _EvaluatorBase:
             return jax.lax.dynamic_update_slice(
                 acc, cur + patch.reshape(G, Pp, Pp), (z, x0, y0)), None
 
-        ext, _ = jax.lax.scan(body, ext,
-                              (stack, self.patch_x0, self.patch_y0))
+        pm = self._patch_merge
+        if pm is not None:
+            # sum same-origin sources' patches (row gathers, zero pad row),
+            # then scan over the merged groups only
+            padded = jnp.concatenate(
+                [stack, jnp.zeros((1,) + stack.shape[1:], stack.dtype)])
+            merged = jnp.take(padded, pm["tbl"][0], axis=0)
+            for t in pm["tbl"][1:]:
+                merged = merged + jnp.take(padded, t, axis=0)
+            ext, _ = jax.lax.scan(body, ext, (merged, pm["x0"], pm["y0"]))
+        else:
+            ext, _ = jax.lax.scan(body, ext,
+                                  (stack, self.patch_x0, self.patch_y0))
         return [g + ext[i, m:-m, m:-m] for i, g in enumerate(grids)]
 
 
