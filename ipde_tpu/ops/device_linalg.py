@@ -28,8 +28,9 @@ validated against LAPACK in tests/test_device_linalg.py.
 
 from __future__ import annotations
 
+import functools
 import os
-from typing import List, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -115,14 +116,104 @@ def _pad_spd(G, npad: int):
 class CholFactor:
     """Lower Cholesky factor of a padded SPD matrix, with device mirrors of
     the per-block inverse diagonal factors (consumed by the blocked
-    triangular solves)."""
+    triangular solves).  diag_invs is a stacked (nblk, block, block)
+    device array."""
 
-    def __init__(self, L, diag_invs: List, n: int, block: int):
+    def __init__(self, L, diag_invs, n: int, block: int):
         self.L = L
         self.diag_invs = diag_invs
         self.n = n
         self.block = block
         self.npad = L.shape[0]
+
+
+def _chol_unblocked(A):
+    """In-jit dense Cholesky of one SPD block (fori over columns with
+    masked rank-1 updates; a non-PD pivot produces NaN, which the caller
+    detects with one fetch).  O(b^3) VPU work -- trivial on device, and it
+    removes the per-block host round trip that made the eager setup
+    fetch-latency-bound (897 of 1371 s at nb=1200 cold,
+    tools/profile_setup.py 2026-08-20)."""
+    n = A.shape[0]
+    idx = jnp.arange(n)
+
+    def body(j, W):
+        d = jnp.sqrt(W[j, j])
+        c_ = W[:, j] / d
+        cfull = jnp.where(idx >= j, c_, 0.0)
+        cstrict = jnp.where(idx > j, c_, 0.0)
+        W = W - cstrict[:, None] * cstrict[None, :]
+        return W.at[:, j].set(cfull)
+
+    W = jax.lax.fori_loop(0, n, body, A)
+    return jnp.tril(W)
+
+
+def _tril_inv(L, unit: bool = False):
+    """In-jit inverse of a lower-triangular block by row-forward
+    substitution on the identity."""
+    n = L.shape[0]
+    idx = jnp.arange(n)
+
+    def body(j, X):
+        row = jnp.where(idx < j, L[j, :], 0.0)
+        acc = jnp.matmul(row, X, precision=_HIGH)
+        ej = (idx == j).astype(L.dtype)
+        piv = 1.0 if unit else L[j, j]
+        return X.at[j, :].set((ej - acc) / piv)
+
+    return jax.lax.fori_loop(0, n, body, jnp.zeros_like(L))
+
+
+def _triu_inv(U):
+    """In-jit inverse of an upper-triangular block (backward)."""
+    n = U.shape[0]
+    idx = jnp.arange(n)
+
+    def body(r, X):
+        j = n - 1 - r
+        row = jnp.where(idx > j, U[j, :], 0.0)
+        acc = jnp.matmul(row, X, precision=_HIGH)
+        ej = (idx == j).astype(U.dtype)
+        return X.at[j, :].set((ej - acc) / U[j, j])
+
+    return jax.lax.fori_loop(0, n, body, jnp.zeros_like(U))
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _cholesky_blocked_jit(Gp, block: int):
+    """Blocked right-looking Cholesky, the WHOLE factorization as one
+    compiled program (fori over blocks; exact Ozaki panel products inside).
+    Returns (L, diag_invs stacked)."""
+    npad = Gp.shape[0]
+    nblk = npad // block
+    ridx = jnp.arange(npad)
+
+    def body(kb, carry):
+        work, L, Dinv = carry
+        j0 = kb * block
+        Gkk = jax.lax.dynamic_slice(work, (j0, j0), (block, block))
+        Lkk = _chol_unblocked(Gkk)
+        Likk = _tril_inv(Lkk)
+        pan = jax.lax.dynamic_slice(work, (0 * j0, j0), (npad, block))
+        # exact panel/Schur products: plain-dot noise here lands IN the
+        # factor, so the refinement preconditioner quality degrades from
+        # cond(G) 2^-48 to cond(G) 2^-24 -- divergent for the cond ~ 1e9
+        # QFS Gram systems (measured: dd-compose stuck at 1e-5).
+        Lp = exact_mm(pan, Likk.T)
+        below = (ridx >= (kb + 1) * block)[:, None]
+        Lbelow = jnp.where(below, Lp, 0.0)
+        col = jax.lax.dynamic_update_slice(Lbelow, Lkk, (j0, 0 * j0))
+        L = jax.lax.dynamic_update_slice(L, col, (0 * j0, j0))
+        work = work - exact_mm(Lbelow, Lbelow.T)
+        Dinv = jax.lax.dynamic_update_slice(Dinv, Likk[None],
+                                            (kb, 0 * kb, 0 * kb))
+        return (work, L, Dinv)
+
+    init = (Gp, jnp.zeros_like(Gp),
+            jnp.zeros((nblk, block, block), Gp.dtype))
+    _, L, Dinv = jax.lax.fori_loop(0, nblk, body, init)
+    return L, Dinv
 
 
 def cholesky_blocked(G, block: int = BLOCK) -> CholFactor:
@@ -131,41 +222,15 @@ def cholesky_blocked(G, block: int = BLOCK) -> CholFactor:
     Returns a CholFactor with L lower triangular (padded size).  Raises
     np.linalg.LinAlgError if a diagonal block is not positive definite
     (surface the failure rather than silently regularizing)."""
-    import scipy.linalg as sla
     n = G.shape[0]
     npad = _pad_to_blocks(n, block)
-    nblk = npad // block
     work = _pad_spd(jnp.asarray(G), npad)
-    ridx = jnp.arange(npad)
-    # preallocate L and write column panels in place (an accumulate+concat
-    # holds BOTH the panel list and the concatenated result alive -> 2x the
-    # factor's footprint as a transient; measured OOM contributor at bench
-    # sizes where several factors build back-to-back)
-    L = jnp.zeros((npad, npad), work.dtype)
-    diag_invs = []
-    eyeb = np.eye(block)
-    for kb in range(nblk):
-        j0 = jnp.int32(kb * block)
-        Gkk = np.asarray(jax.lax.dynamic_slice(work, (j0, j0),
-                                               (block, block)))
-        Lkk = np.linalg.cholesky(Gkk)
-        Likk = sla.solve_triangular(Lkk, eyeb, lower=True)
-        dLikk = jnp.asarray(Likk)
-        diag_invs.append(dLikk)
-        pan = jax.lax.dynamic_slice(work, (jnp.int32(0), j0), (npad, block))
-        # exact panel/Schur products: plain-dot noise here lands IN the
-        # factor, so the refinement preconditioner quality degrades from
-        # cond(G) 2^-48 to cond(G) 2^-24 -- divergent for the cond ~ 1e9
-        # QFS Gram systems (measured: dd-compose stuck at 1e-5).
-        Lp = exact_mm(pan, dLikk.T)
-        below = (ridx >= (kb + 1) * block)[:, None]
-        Lbelow = jnp.where(below, Lp, 0.0)
-        col = jax.lax.dynamic_update_slice(Lbelow, jnp.asarray(Lkk),
-                                           (j0, jnp.int32(0)))
-        L = jax.lax.dynamic_update_slice(L, col, (jnp.int32(0), j0))
-        if kb + 1 < nblk:
-            work = work - exact_mm(Lbelow, Lbelow.T)
-    return CholFactor(L, diag_invs, n, block)
+    L, Dinv = _cholesky_blocked_jit(work, block)
+    # non-PD pivots surface as NaN through the sqrt
+    if bool(jnp.isnan(jax.lax.slice(L, (0, 0), (npad, 1))).any()) \
+            or bool(jnp.isnan(L[-1, -1])):
+        raise np.linalg.LinAlgError("cholesky_blocked: block not PD")
+    return CholFactor(L, Dinv, n, block)
 
 
 def _pad_rows(Bmat, npad: int):
@@ -178,46 +243,55 @@ def _pad_rows(Bmat, npad: int):
     return jax.lax.dynamic_update_slice(Z, b, (jnp.int32(0), jnp.int32(0)))
 
 
-def solve_lower(F: CholFactor, Bmat):
-    """X with L X = B (rows of B beyond F.n are treated as zero)."""
-    L, npad, block = F.L, F.npad, F.block
+@functools.partial(jax.jit, static_argnames=("block",))
+def _solve_lower_jit(L, Dinv, X, block: int):
+    npad = L.shape[0]
     nblk = npad // block
     cidx = jnp.arange(npad)[None, :]
-    X = _pad_rows(Bmat, npad)
-    for kb in range(nblk):
-        j0 = jnp.int32(kb * block)
-        Lrow = jax.lax.dynamic_slice(L, (j0, jnp.int32(0)), (block, npad))
+
+    def body(kb, X):
+        j0 = kb * block
+        Lrow = jax.lax.dynamic_slice(L, (j0, 0 * j0), (block, npad))
         Lrow = jnp.where(cidx < j0, Lrow, 0.0)
         acc = exact_mm(Lrow, X)
-        Xkb = jax.lax.dynamic_slice(X, (j0, jnp.int32(0)),
-                                    (block, X.shape[1]))
-        Xkb = exact_mm(F.diag_invs[kb], Xkb - acc)
-        X = jax.lax.dynamic_update_slice(X, Xkb, (j0, jnp.int32(0)))
-        if kb % 4 == 3:
-            _sync(X)
-    return _sync(X)
+        Xkb = jax.lax.dynamic_slice(X, (j0, 0 * j0), (block, X.shape[1]))
+        Xkb = exact_mm(Dinv[kb], Xkb - acc)
+        return jax.lax.dynamic_update_slice(X, Xkb, (j0, 0 * j0))
+
+    return jax.lax.fori_loop(0, nblk, body, X)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _solve_lower_t_jit(L, Dinv, X, block: int):
+    npad = L.shape[0]
+    nblk = npad // block
+    cidx = jnp.arange(npad)[None, :]
+
+    def body(r, X):
+        kb = nblk - 1 - r
+        j0 = kb * block
+        # (L^T)[kb-row-panel, :] = L[:, kb-cols]^T; strict part masked to
+        # columns >= (kb+1) block
+        Lcol = jax.lax.dynamic_slice(L, (0 * j0, j0), (npad, block))
+        LrowT = jnp.where(cidx >= (kb + 1) * block, Lcol.T, 0.0)
+        acc = exact_mm(LrowT, X)
+        Xkb = jax.lax.dynamic_slice(X, (j0, 0 * j0), (block, X.shape[1]))
+        Xkb = exact_mm(jnp.transpose(Dinv[kb]), Xkb - acc)
+        return jax.lax.dynamic_update_slice(X, Xkb, (j0, 0 * j0))
+
+    return jax.lax.fori_loop(0, nblk, body, X)
+
+
+def solve_lower(F: CholFactor, Bmat):
+    """X with L X = B (rows of B beyond F.n are treated as zero)."""
+    return _solve_lower_jit(F.L, F.diag_invs, _pad_rows(Bmat, F.npad),
+                            F.block)
 
 
 def solve_lower_t(F: CholFactor, Bmat):
     """X with L^T X = B (backward pass)."""
-    L, npad, block = F.L, F.npad, F.block
-    nblk = npad // block
-    cidx = jnp.arange(npad)[None, :]
-    X = _pad_rows(Bmat, npad)
-    for kb in range(nblk - 1, -1, -1):
-        j0 = jnp.int32(kb * block)
-        # (L^T)[kb-row-panel, :] = L[:, kb-cols]^T; strict part masked to
-        # columns >= (kb+1) block
-        Lcol = jax.lax.dynamic_slice(L, (jnp.int32(0), j0), (npad, block))
-        LrowT = jnp.where(cidx >= (kb + 1) * block, Lcol.T, 0.0)
-        acc = exact_mm(LrowT, X)
-        Xkb = jax.lax.dynamic_slice(X, (j0, jnp.int32(0)),
-                                    (block, X.shape[1]))
-        Xkb = exact_mm(F.diag_invs[kb].T, Xkb - acc)
-        X = jax.lax.dynamic_update_slice(X, Xkb, (j0, jnp.int32(0)))
-        if kb % 4 == 3:
-            _sync(X)
-    return _sync(X)
+    return _solve_lower_t_jit(F.L, F.diag_invs, _pad_rows(Bmat, F.npad),
+                              F.block)
 
 
 def spd_solve(F: CholFactor, Bmat):
@@ -231,18 +305,89 @@ def spd_solve(F: CholFactor, Bmat):
 # blocked LU (no pivoting) + explicit inverse, for second-kind BIE systems
 # ---------------------------------------------------------------------------
 
-def _lu_nopivot_host(A: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Dense no-pivot LU of a small block on host (vectorized over rows)."""
+def _lu_unblocked(A):
+    """In-jit dense no-pivot LU of one block: returns combined LU storage
+    (unit-lower strict part + upper), as in the classic kij formulation."""
     n = A.shape[0]
-    U = A.copy()
-    L = np.eye(n)
-    for j in range(n - 1):
-        piv = U[j, j]
-        m = U[j + 1:, j] / piv
-        L[j + 1:, j] = m
-        U[j + 1:, j:] -= m[:, None] * U[j, j:][None, :]
-        U[j + 1:, j] = 0.0
-    return L, U
+    idx = jnp.arange(n)
+
+    def body(j, W):
+        piv = W[j, j]
+        m = jnp.where(idx > j, W[:, j] / piv, 0.0)
+        rowj = jnp.where(idx >= j, W[j, :], 0.0)
+        W = W - m[:, None] * rowj[None, :]
+        return W.at[:, j].set(jnp.where(idx > j, m, W[:, j]))
+
+    return jax.lax.fori_loop(0, n, body, A)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _lu_inverse_blocked_jit(work, block: int):
+    """Blocked no-pivot LU + explicit inverse as ONE compiled program
+    (see cholesky_blocked: the eager per-block host round trips made cold
+    setup fetch-latency-bound)."""
+    npad = work.shape[0]
+    nblk = npad // block
+    ridx = jnp.arange(npad)[:, None]
+    cidx = jnp.arange(npad)[None, :]
+
+    def factor_body(kb, carry):
+        work, L, U, Li, Ui = carry
+        j0 = kb * block
+        Akk = jax.lax.dynamic_slice(work, (j0, j0), (block, block))
+        LU = _lu_unblocked(Akk)
+        Lkk = jnp.tril(LU, -1) + jnp.eye(block, dtype=LU.dtype)
+        Ukk = jnp.triu(LU)
+        Likk = _tril_inv(Lkk, unit=True)
+        Uikk = _triu_inv(Ukk)
+        # row panel of U: Likk @ A[kb, :] (strict right part)
+        Arow = jax.lax.dynamic_slice(work, (j0, 0 * j0), (block, npad))
+        Urow = _mm(Likk, Arow)
+        Urow = jnp.where(cidx >= (kb + 1) * block, Urow, 0.0)
+        # col panel of L: A[:, kb] @ Uikk (strict below part)
+        Acol = jax.lax.dynamic_slice(work, (0 * j0, j0), (npad, block))
+        Lcol = _mm(Acol, Uikk)
+        Lcol = jnp.where(ridx >= (kb + 1) * block, Lcol, 0.0)
+        Urow_full = jax.lax.dynamic_update_slice(Urow, Ukk, (0 * j0, j0))
+        Lcol_full = jax.lax.dynamic_update_slice(Lcol, Lkk, (j0, 0 * j0))
+        L = jax.lax.dynamic_update_slice(L, Lcol_full, (0 * j0, j0))
+        U = jax.lax.dynamic_update_slice(U, Urow_full, (j0, 0 * j0))
+        work = work - _mm(Lcol, Urow)
+        Li = jax.lax.dynamic_update_slice(Li, Likk[None],
+                                          (kb, 0 * kb, 0 * kb))
+        Ui = jax.lax.dynamic_update_slice(Ui, Uikk[None],
+                                          (kb, 0 * kb, 0 * kb))
+        return (work, L, U, Li, Ui)
+
+    zeros = jnp.zeros_like(work)
+    dzeros = jnp.zeros((nblk, block, block), work.dtype)
+    _, L, U, Li, Ui = jax.lax.fori_loop(
+        0, nblk, factor_body, (work, zeros, zeros, dzeros, dzeros))
+
+    # Ainv = U^{-1} (L^{-1} I): forward then backward blocked solves
+    def fwd_body(kb, X):
+        j0 = kb * block
+        Lrow = jax.lax.dynamic_slice(L, (j0, 0 * j0), (block, npad))
+        Lrow = jnp.where(cidx < j0, Lrow, 0.0)
+        acc = _mm(Lrow, X)
+        Xkb = jax.lax.dynamic_slice(X, (j0, 0 * j0), (block, npad))
+        Xkb = _mm(Li[kb], Xkb - acc)
+        return jax.lax.dynamic_update_slice(X, Xkb, (j0, 0 * j0))
+
+    X = jax.lax.fori_loop(0, nblk, fwd_body,
+                          jnp.eye(npad, dtype=work.dtype))
+
+    def bwd_body(r, X):
+        kb = nblk - 1 - r
+        j0 = kb * block
+        Urow = jax.lax.dynamic_slice(U, (j0, 0 * j0), (block, npad))
+        Urow = jnp.where(cidx >= (kb + 1) * block, Urow, 0.0)
+        acc = _mm(Urow, X)
+        Xkb = jax.lax.dynamic_slice(X, (j0, 0 * j0), (block, npad))
+        Xkb = _mm(Ui[kb], Xkb - acc)
+        return jax.lax.dynamic_update_slice(X, Xkb, (j0, 0 * j0))
+
+    return jax.lax.fori_loop(0, nblk, bwd_body, X)
 
 
 def lu_inverse_blocked(A, block: int = BLOCK):
@@ -250,70 +395,11 @@ def lu_inverse_blocked(A, block: int = BLOCK):
     no-pivot LU on the device.  Intended for second-kind BIE matrices
     (jump/2 + compact operator): diagonal dominance makes no-pivot LU
     stable there; consumers add iterative refinement at apply time."""
-    import scipy.linalg as sla
     A = jnp.asarray(A)
     n = A.shape[0]
     npad = _pad_to_blocks(n, block)
-    nblk = npad // block
     work = _pad_spd(A, npad)      # identity tail keeps the LU well posed
-    ridx = jnp.arange(npad)[:, None]
-    cidx = jnp.arange(npad)[None, :]
-    eyeb = np.eye(block)
-    Lcols = []
-    Urows = []
-    Li_diag = []
-    Ui_diag = []
-    for kb in range(nblk):
-        j0 = jnp.int32(kb * block)
-        Akk = np.asarray(jax.lax.dynamic_slice(work, (j0, j0),
-                                               (block, block)))
-        Lkk, Ukk = _lu_nopivot_host(Akk)
-        Likk = sla.solve_triangular(Lkk, eyeb, lower=True, unit_diagonal=True)
-        Uikk = sla.solve_triangular(Ukk, eyeb, lower=False)
-        dLikk, dUikk = jnp.asarray(Likk), jnp.asarray(Uikk)
-        Li_diag.append(dLikk)
-        Ui_diag.append(dUikk)
-        # row panel of U: Likk @ A[kb, :] (strict right part)
-        Arow = jax.lax.dynamic_slice(work, (j0, jnp.int32(0)), (block, npad))
-        Urow = _mm(dLikk, Arow)
-        Urow = jnp.where(cidx >= (kb + 1) * block, Urow, 0.0)
-        # col panel of L: A[:, kb] @ Uikk (strict below part)
-        Acol = jax.lax.dynamic_slice(work, (jnp.int32(0), j0), (npad, block))
-        Lcol = _mm(Acol, dUikk)
-        Lcol = jnp.where(ridx >= (kb + 1) * block, Lcol, 0.0)
-        # store full panels incl. the diagonal factors
-        Urow_full = jax.lax.dynamic_update_slice(Urow, jnp.asarray(Ukk),
-                                                 (jnp.int32(0), j0))
-        Lcol_full = jax.lax.dynamic_update_slice(Lcol, jnp.asarray(Lkk),
-                                                 (j0, jnp.int32(0)))
-        Lcols.append(Lcol_full)
-        Urows.append(Urow_full)
-        if kb + 1 < nblk:
-            work = work - _mm(Lcol, Urow)
-    L = jnp.concatenate(Lcols, axis=1)
-    U = jnp.concatenate(Urows, axis=0)
-    # Ainv = U^{-1} (L^{-1} I): forward then backward blocked solves
-    X = jnp.eye(npad, dtype=A.dtype)
-    for kb in range(nblk):
-        j0 = jnp.int32(kb * block)
-        Lrow = jax.lax.dynamic_slice(L, (j0, jnp.int32(0)), (block, npad))
-        Lrow = jnp.where(cidx < j0, Lrow, 0.0)
-        acc = _mm(Lrow, X)
-        Xkb = jax.lax.dynamic_slice(X, (j0, jnp.int32(0)), (block, npad))
-        Xkb = _mm(Li_diag[kb], Xkb - acc)
-        X = jax.lax.dynamic_update_slice(X, Xkb, (j0, jnp.int32(0)))
-        if kb % 4 == 3:
-            _sync(X)
-    for kb in range(nblk - 1, -1, -1):
-        j0 = jnp.int32(kb * block)
-        Urow = jax.lax.dynamic_slice(U, (j0, jnp.int32(0)), (block, npad))
-        Urow = jnp.where(cidx >= (kb + 1) * block, Urow, 0.0)
-        acc = _mm(Urow, X)
-        Xkb = jax.lax.dynamic_slice(X, (j0, jnp.int32(0)), (block, npad))
-        Xkb = _mm(Ui_diag[kb], Xkb - acc)
-        X = jax.lax.dynamic_update_slice(X, Xkb, (j0, jnp.int32(0)))
-        if kb % 4 == 3:
-            _sync(X)
+    X = _lu_inverse_blocked_jit(work, block)
     return _sync(X)[:n, :n]
 
 
