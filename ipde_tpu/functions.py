@@ -91,6 +91,24 @@ class EmbeddedFunction:
             m = jnp.maximum(m, jnp.max(a))
         return m
 
+    def get_grid_value(self, ebdyc, masked: bool = False):
+        """Grid values with exterior points zeroed (reference:
+        ipde/embedded_function.py:184-189; the reference scatters packed
+        gdata into zeros — here the grid array is already full-shape, so
+        this is one mask).  ``masked=True`` returns a numpy masked array
+        hiding the exterior."""
+        arr = np.where(np.asarray(ebdyc.phys), np.asarray(self.grid), 0.0)
+        if masked:
+            arr = np.ma.array(arr, mask=~np.asarray(ebdyc.phys))
+        return arr
+
+    def get_smoothed_grid_value(self, ebdyc):
+        """Grid values rolled off smoothly to zero across the annulus via
+        the collection's smooth step (reference:
+        ipde/embedded_function.py:190-194): suitable for global-FFT
+        consumers that need a C^k periodic extension of the field."""
+        return self.grid * ebdyc.grid_step_dev
+
     def __repr__(self):
         return (f"EmbeddedFunction(grid={jnp.shape(self.grid)}, "
                 f"radials={[jnp.shape(r) for r in self.radials]})")

@@ -121,3 +121,30 @@ def test_fourth_solver_type_stokes():
     err = float(abs(u - ua).max_on(ebdyc))
     # 4th-order interface data limits accuracy vs the spectral path
     assert err < 2e-5, f"fourth solver_type stokes: err {err:.2e}"
+
+
+def test_grid_value_accessors():
+    """get_grid_value / get_smoothed_grid_value parity (reference:
+    ipde/embedded_function.py:184-194): exterior zeroed; smoothed value
+    equals grid * grid_step (1 deep inside, 0 outside, C^k across the
+    annulus)."""
+    ebdyc = _setup()
+    f = EmbeddedFunction.from_function(ebdyc, F)
+    phys = np.asarray(ebdyc.phys)
+    g = ebdyc.grid
+
+    gv = f.get_grid_value(ebdyc)
+    assert gv.shape == phys.shape
+    assert np.all(gv[~phys] == 0.0)
+    assert np.allclose(gv[phys], np.asarray(f.grid)[phys])
+    gm = f.get_grid_value(ebdyc, masked=True)
+    assert bool(gm.mask[~phys].all()) and not bool(gm.mask[phys].any())
+
+    sm = np.asarray(f.get_smoothed_grid_value(ebdyc))
+    gs = np.asarray(ebdyc.grid_step)
+    assert np.allclose(sm, np.asarray(f.grid) * gs)
+    # deep interior: step == 1 so the smoothed value matches F exactly
+    deep = gs == 1.0
+    assert deep.any()
+    assert np.allclose(sm[deep], F(g.xg, g.yg)[deep])
+    assert np.all(sm[~phys] == 0.0)
