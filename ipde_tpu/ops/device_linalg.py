@@ -8,14 +8,11 @@ matmul, so an nb=2700 Stokes setup spends 500+ s in host LAPACK.  These
 routines run the O(n^3) work on the device instead.
 
 Design (shaped by the axon-tunnel environment, see PROGRESS.md):
-  * Python-level blocking over EAGER jax ops.  Each distinct (op, shape)
-    compiles once per process (~1-3 s); block positions are passed as
-    device scalars through ``lax.dynamic_slice`` so every iteration reuses
-    the same executable.  A whole-algorithm jit would pay a 30-60 s tunnel
-    compile per shape.
-  * Diagonal-block factorizations (256 x 256) happen on HOST via tiny
-    transfers: numpy does a 256^3 Cholesky/LU in ~2 ms, far below the cost
-    (and compile latency) of a sequential on-device kernel.
+  * Each whole factorization is ONE jitted program (fori over blocks,
+    in-jit 256x256 diagonal-block Cholesky/LU + triangular inverses).
+    Host round trips per factorization: one NaN fetch.  Tunnel compiles
+    are minutes each but ASYNC and persistent-cached (utils/xla_cache);
+    warm execution measured 0.26 s at (2560, 2560) f64 (tools/chol_probe).
   * No pivoting in the blocked LU: its consumers are second-kind BIE
     systems (I/2 + compact), which are well conditioned; callers can run
     iterative refinement with exact (multiply+reduce) matvecs on top.
@@ -439,10 +436,26 @@ def minnorm_compose(A, forms: Sequence, lam_rel: float = 0.0,
 
     A and forms may be numpy or device arrays; returns device maps (n, m).
     """
+    import time as _time
+    _tmr = os.environ.get("IPDE_COMPOSE_TIME")
+    _tt = [_time.time()]
+
+    def _tick(tag, x=None):
+        # stage wall-clock WITH a sync barrier, so async tunnel work
+        # attributes to the stage that queued it
+        if _tmr:
+            if x is not None:
+                _sync(x)
+            now = _time.time()
+            print(f"  compose[{tag}]: {now - _tt[0]:.1f}s", flush=True)
+            _tt[0] = now
+
     A = jnp.asarray(A)
     At = A.T.copy()     # materialize ONCE (each eager _mm(A.T, .) would
                         # re-materialize the transpose as a fresh buffer)
+    _tick("inputs", A)
     G = exact_mm(A, At)
+    _tick("gram", G)
     m = G.shape[0]
     if lam_rel:
         lam = lam_rel * float(jnp.trace(G) / m)
@@ -462,11 +475,14 @@ def minnorm_compose(A, forms: Sequence, lam_rel: float = 0.0,
         raise np.linalg.LinAlgError("minnorm_compose: Gram not PD")
 
     F1, _ = _chol_shifted(G)
+    _tick("chol1", F1.L)
     del G
     # Q^T = L1^{-1} A  (m x n, padded rows clipped by spd-style slicing)
     QT = solve_lower(F1, A)[:m]
+    _tick("qt1", QT)
     # CholeskyQR2: re-orthonormalize Q^T rows
     F2, shifted2 = _chol_shifted(exact_mm(QT, QT.T))
+    _tick("chol2", F2.L)
     QT = solve_lower(F2, QT)[:m]
     factors = [F1, F2]
     if shifted2:
@@ -476,6 +492,7 @@ def minnorm_compose(A, forms: Sequence, lam_rel: float = 0.0,
         QT = solve_lower(F3, QT)[:m]
         factors.append(F3)
     Q = _sync(QT.T.copy())
+    _tick("q")
     dbg = os.environ.get("IPDE_COMPOSE_DEBUG")
 
     def ltot_solve(Bmat):
@@ -492,6 +509,7 @@ def minnorm_compose(A, forms: Sequence, lam_rel: float = 0.0,
     # dispatches each x ~18 solves per compose -- a dominant slice of the
     # pathological cold setup (VERDICT r4 item 4; 25-33 ms per dispatch).
     E = _sync(exact_mm(Q, ltot_solve(jnp.eye(m, dtype=A.dtype))))
+    _tick("einv")
 
     maps = []
     for Bf in forms:
@@ -508,4 +526,5 @@ def minnorm_compose(A, forms: Sequence, lam_rel: float = 0.0,
             print(f"  compose final : |R|_inf = "
                   f"{float(jnp.max(jnp.abs(R))):.3e}", flush=True)
         maps.append(_sync(M))
+        _tick("map")
     return maps
