@@ -171,9 +171,24 @@ class FourierPlan2D:
 
     def use_mesh(self, mesh, axis: str = "p"):
         """Activate sharded transforms: axis-0 passes run with columns
-        sharded over `mesh` (XLA inserts the all-to-all at the transpose)."""
+        sharded over `mesh` (XLA inserts the all-to-all at the transpose).
+
+        With a mesh the MATMUL path is forced even where native jnp.fft
+        is the single-device default (CPU): the matmul passes are the
+        sharded implementation, and sharding constraints around the CPU
+        fft thunk trip an XLA layout RET_CHECK when the whole step is
+        jitted (measured: dryrun_multichip 2026-08-21)."""
         self.mesh = mesh
         self.mesh_axis = axis
+        if mesh is not None and self.native:
+            self._native_saved = True
+            self.native = False
+            if not hasattr(self, "_tx"):
+                self._tx = self._make_axis_transform(self.nx)
+                self._ty = self._make_axis_transform(self.ny)
+        elif mesh is None and getattr(self, "_native_saved", False):
+            self.native = True
+            self._native_saved = False
 
     def _shard_axis(self, x, axis_idx: int):
         """Constrain axis `axis_idx` of x (array or Cx) sharded over the
