@@ -186,8 +186,15 @@ def run_config(nb, M, grid_target, pde, tier):
     try:
         lowered = pstep.inner.lower(pstep.plans, f.grid, f.radials[0])
         ca = lowered.cost_analysis()
+        if ca is None:
+            # some backends (axon tunnel) only expose cost analysis on the
+            # COMPILED executable; the XLA persistent cache makes this a
+            # cache hit of the executable built seconds ago
+            ca = lowered.compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
+        if ca is None:
+            raise RuntimeError("cost_analysis unavailable on this backend")
         gflops = float(ca.get("flops", 0.0)) / 1e9
         gbytes = float(ca.get("bytes accessed", 0.0)) / 1e9
         mfu_pct = 100.0 * (gflops / (ms * 1e-3)) / (peak_tflops * 1e3)
