@@ -629,6 +629,22 @@ class _EvaluatorBase:
         self.deconv_half = (jnp.asarray(hx * hy / phx[: self.nkx])[:, None]
                             / jnp.asarray(phy)[None, :]
                             / self.A * (Px * Py))
+        # deconv CLIPPING: at the padded-spectrum corners the ES window FT
+        # has decayed by up to e^{-2 beta} ~ 1e-32, so 1/(phx phy) amplifies
+        # transform roundoff (~1e-16) into O(1e16)-scale spectral noise that
+        # the k-weighted Stokes symbols turn into a GLOBAL ~1e-9-relative
+        # velocity floor (measured tier-2, tools/vg_probe.py 2026-08-21;
+        # pressure, one k-power lower, sat at 4e-12).  Modes attenuated
+        # below IPDE_VG_CLIP (default 1e-13) carry no representable signal:
+        # zero their deconv instead of inverting it (standard NUFFT
+        # practice).  IPDE_VG_CLIP=0 disables.
+        clip = float(os.environ.get("IPDE_VG_CLIP", "1e-13"))
+        if clip > 0.0:
+            ax_rel = np.abs(phx[: self.nkx]) / np.abs(phx).max()
+            ay_rel = np.abs(phy) / np.abs(phy).max()
+            keep = (jnp.asarray(ax_rel)[:, None]
+                    * jnp.asarray(ay_rel)[None, :]) >= clip
+            self.deconv_half = jnp.where(keep, self.deconv_half, 0.0)
         self.kx_half = jnp.asarray(kx[: self.nkx])[:, None]
         self.ky_row = jnp.asarray(ky)[None, :]
         self.kk_half = jnp.sqrt(self.kx_half ** 2 + self.ky_row ** 2)

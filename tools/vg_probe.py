@@ -146,6 +146,8 @@ def main():
     sxd = jnp.asarray(src.x)
     syd = jnp.asarray(src.y)
     try:
+        if os.environ.get("VG_SKIP_DENSE"):
+            raise RuntimeError("skipped (VG_SKIP_DENSE)")
         from ipde_tpu.ops import pallas_ds as pds
         dense = jax.jit(lambda a, b: pds.stokes_slp_apply(
             sxd, syd, a, b, tx, ty))
@@ -182,6 +184,22 @@ def main():
     u_vg_s = np.asarray(u_vg).ravel()[phys_idx[sub]]
     v_vg_s = np.asarray(v_vg).ravel()[phys_idx[sub]]
     p_vg_s = np.asarray(p_vg).ravel()[phys_idx[sub]]
+    # split by distance to the nearest source: inside the patch radius the
+    # near-correction tables dominate; outside it is pure spectral path
+    from scipy.spatial import cKDTree
+    tree = cKDTree(np.stack([np.asarray(sxd), np.asarray(syd)], 1))
+    dist, _ = tree.query(np.stack([px[sub], py[sub]], 1))
+    r_cut = 22.0 * max(ebdyc.grid.xh, ebdyc.grid.yh)
+    near = dist < r_cut
+    print(f"  near/far split at r_cut={r_cut:.4f}: "
+          f"{int(near.sum())}/{int((~near).sum())} targets", flush=True)
+    for name, a, b in (("u", u_vg_s, np.asarray(ue)),
+                       ("v", v_vg_s, np.asarray(ve)),
+                       ("p", p_vg_s, np.asarray(pe))):
+        e = np.abs(a - b)
+        print(f"    {name}: near {e[near].max() if near.any() else 0:.2e}"
+              f"  far {e[~near].max() if (~near).any() else 0:.2e}",
+              flush=True)
     for name, a, b in (("u", u_vg_s, np.asarray(ue)),
                        ("v", v_vg_s, np.asarray(ve)),
                        ("p", p_vg_s, np.asarray(pe))):
